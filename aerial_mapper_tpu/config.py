@@ -1,0 +1,169 @@
+"""Typed configuration for every pipeline stage.
+
+Mirrors the reference's per-module ``Settings`` structs (see
+``aerial_mapper_dense_pcl/include/aerial-mapper-dense-pcl/common.h:31-110``,
+``aerial_mapper_dsm/include/aerial-mapper-dsm/dsm.h:25-32``,
+``aerial_mapper_ortho/include/aerial-mapper-ortho/ortho-backward-grid.h:32-41``,
+``.../ortho-forward-homography.h:33-42``, ``.../ortho-from-pcl.h:28-35``,
+``aerial_mapper_grid_map/include/.../aerial-mapper-grid-map.h:23-29``)
+but as frozen dataclasses so they are hashable and can be passed as static
+arguments through ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GridMapConfig:
+    """Geometry of the map raster (reference: grid_map::Settings).
+
+    The grid follows GeoTiff conventions: row 0 is the northern edge, column 0
+    the western edge; ``resolution`` is meters per cell.
+    """
+
+    center_easting: float = 0.0
+    center_northing: float = 0.0
+    delta_easting: float = 200.0
+    delta_northing: float = 200.0
+    resolution: float = 1.0
+
+    @property
+    def width(self) -> int:
+        return int(round(self.delta_easting / self.resolution))
+
+    @property
+    def height(self) -> int:
+        return int(round(self.delta_northing / self.resolution))
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Virtual-stereo driver settings (reference: stereo::Settings, common.h:31-35)."""
+
+    use_every_nth_image: int = 1
+    images_need_undistortion: bool = False
+    # "bm" or "sgm"; the reference defaults to SGBM in code but demos pass BM.
+    matcher: str = "bm"
+
+
+@dataclasses.dataclass(frozen=True)
+class SgmConfig:
+    """Semi-global matching parameters (reference SGBM defaults, common.h:85-96)."""
+
+    min_disparity: int = 1
+    num_disparities: int = 80
+    p1: float = 120.0
+    p2: float = 250.0
+    block_size: int = 9
+    uniqueness_ratio: int = 10
+    num_directions: int = 4  # 4 or 8 scan directions
+    speckle_window_size: int = 100
+    speckle_range: float = 20.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockMatchingConfig:
+    """SAD block matching parameters (reference BM defaults, common.h:98-109)."""
+
+    min_disparity: int = 1
+    num_disparities: int = 80
+    block_size: int = 15
+    texture_threshold: float = 20.0
+    uniqueness_ratio: int = 80
+    pre_filter_cap: int = 31
+    pre_filter_size: int = 9
+    speckle_window_size: int = 100
+    speckle_range: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DsmConfig:
+    """DSM IDW settings (reference: dsm::Settings, dsm.h:25-32).
+
+    NOTE on units: the reference feeds ``interpolation_radius`` directly to a
+    nanoflann ``RadiusResultSet`` whose L2 adaptor returns *squared*
+    distances, so the parameter is effectively in m^2 and the IDW weights are
+    1/d^2 (SURVEY.md "Parity with reference quirks"). We keep those semantics:
+    ``interpolation_radius_sq`` is compared against squared cell-to-point
+    distances and the adaptive growth caps at ``max_radius_sq`` = 7.0 m^2.
+    """
+
+    interpolation_radius_sq: float = 1.0
+    adaptive_interpolation: bool = True
+    adaptive_growth_factor: float = 1.1
+    max_radius_sq: float = 7.0
+    center_easting: float = 0.0
+    center_northing: float = 0.0
+    # Max points binned per source cell for the dense neighborhood gather.
+    bin_capacity: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthoBackwardGridConfig:
+    """Backward-grid ortho settings (reference: ortho::Settings, ortho-backward-grid.h:32-41)."""
+
+    orthomosaic_elevation_m: float = 0.0
+    use_digital_elevation_map: bool = True
+    colored_ortho: bool = False
+    # Cells processed per device batch (tiling knob for the cells x images sweep).
+    cell_chunk: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthoHomographyConfig:
+    """Forward-homography mosaic settings (reference: ortho::Settings,
+    ortho-forward-homography.h:33-42). The reference hardcodes 1 m/px; we
+    expose ``resolution``."""
+
+    ground_plane_elevation_m: float = 414.0
+    width_mosaic_pixels: int = 1000
+    height_mosaic_pixels: int = 1000
+    resolution: float = 1.0
+    origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    batch: bool = True
+    image_chunk: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class OrthoFromPclConfig:
+    """Ortho-from-points settings (reference: ortho::Settings, ortho-from-pcl.h:28-35).
+
+    Same squared-distance-unit quirk as DsmConfig; adaptive growth multiplies
+    the radius by 10 per step (ortho-from-pcl.cc:63-71) and is uncapped in the
+    reference — we cap it at ``max_radius_sq`` to stay bounded.
+    """
+
+    interpolation_radius_sq: float = 2.0
+    use_adaptive_interpolation: bool = False
+    adaptive_growth_factor: float = 10.0
+    max_radius_sq: float = 1e4
+    bin_capacity: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class BundleAdjustmentConfig:
+    """Windowed bundle adjustment (north-star extension; not in reference)."""
+
+    max_iterations: int = 10
+    damping_init: float = 1e-4
+    damping_factor: float = 10.0
+    huber_delta: float = 2.0
+    fix_first_pose: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end pipeline composition."""
+
+    grid: GridMapConfig = GridMapConfig()
+    stereo: StereoConfig = StereoConfig()
+    bm: BlockMatchingConfig = BlockMatchingConfig()
+    sgm: SgmConfig = SgmConfig()
+    dsm: DsmConfig = DsmConfig()
+    ortho_backward: OrthoBackwardGridConfig = OrthoBackwardGridConfig()
+    ortho_homography: OrthoHomographyConfig = OrthoHomographyConfig()
+    ortho_from_pcl: OrthoFromPclConfig = OrthoFromPclConfig()
+    ba: BundleAdjustmentConfig = BundleAdjustmentConfig()

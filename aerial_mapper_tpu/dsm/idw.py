@@ -1,0 +1,326 @@
+"""Grid-binned inverse-distance-weighted rasterization.
+
+TPU-native replacement for the reference's kd-tree radius-search IDW
+(``aerial_mapper_dsm/src/dsm.cc:36-111`` and
+``aerial_mapper_ortho/src/ortho-from-pcl.cc:27-107``). Instead of a pointer-
+chasing nanoflann tree we:
+
+1. **bin** points into their owning map cell with a sort + segment-rank
+   scatter (capacity K slots per cell, deterministic first-K policy), and
+2. **gather** per query cell over a fixed (2*hw+1)^2 cell window around it,
+   accumulating the IDW sums with the exact per-point distances.
+
+This is dense, static-shaped, and vectorizes onto the VPU; the window loop is
+a ``lax.fori_loop`` over shifted views of a zero-copy padded array, so XLA
+pipelines the HBM reads.
+
+Numerical parity notes (see SURVEY.md "Parity with reference quirks"):
+
+- The reference passes its ``interpolation_radius`` parameter straight into
+  nanoflann, whose L2 adaptor returns **squared** distances
+  (``nanoflann.hpp:296-330``), so the search radius is in m^2 and IDW weights
+  are ``1/d^2``. We reproduce exactly that: ``radius_sq`` thresholds squared
+  distances and weights are inverse *squared* distance.
+- Adaptive growth multiplies the (squared) radius by ``growth`` until a
+  neighbor is found, capped at ``max_radius_sq`` (7.0 m^2 for the DSM,
+  dsm.cc:66-77; x10 growth for ortho-from-pcl, ortho-from-pcl.cc:63-71).
+  Equivalent closed form: the effective radius is the smallest
+  ``radius_sq * growth^k`` strictly greater than the squared distance to the
+  nearest point.
+- A point exactly on the cell center (d=0) short-circuits to that point's
+  payload (ortho-from-pcl.cc:89-96; the DSM variant would CHECK-crash there,
+  dsm.cc:98 — we take the payload instead of crashing).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.config import DsmConfig, OrthoFromPclConfig
+from aerial_mapper_tpu.mapgrid.grid import MapGeometry
+
+_FAR = 1.0e9  # sentinel coordinate offset for empty bin slots
+_EXACT_EPS = 1.0e-12  # d^2 below this counts as a perfect match
+
+
+class BinnedPoints(NamedTuple):
+    """Points scattered into per-cell capacity-K slots.
+
+    ``de``/``dn``: [H, W, K] offsets of each stored point from its owning
+    cell's center (meters; _FAR for empty slots). ``payload``: [H, W, K].
+    ``count``: [H, W] number of points binned (pre-capacity-clip).
+    """
+
+    de: jax.Array
+    dn: jax.Array
+    payload: jax.Array
+    count: jax.Array
+
+
+def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
+    """Rank of each element within its run of equal values (ids sorted)."""
+    n = sorted_ids.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    start_idx = jnp.where(is_start, idx, 0)
+    seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+    return idx - seg_start
+
+
+@partial(jax.jit, static_argnames=("geom", "capacity"))
+def bin_points(
+    points_xy: jax.Array,
+    payload: jax.Array,
+    valid: jax.Array,
+    geom: MapGeometry,
+    capacity: int,
+) -> BinnedPoints:
+    """Scatter points (x=easting, y=northing) into per-cell slots.
+
+    Out-of-map points and slots beyond ``capacity`` are dropped (the capacity
+    policy keeps the first K points in sorted order — deterministic across
+    runs and shardings). Stores cell-relative offsets so everything after
+    binning is small-magnitude float32.
+    """
+    h, w, k = geom.height, geom.width, capacity
+    n = points_xy.shape[0]
+
+    col = jnp.floor((points_xy[:, 0] - geom.west) / geom.resolution)
+    row = jnp.floor((geom.north - points_xy[:, 1]) / geom.resolution)
+    in_map = (
+        valid
+        & (col >= 0)
+        & (col < w)
+        & (row >= 0)
+        & (row < h)
+        & jnp.isfinite(points_xy[:, 0])
+        & jnp.isfinite(points_xy[:, 1])
+    )
+    coli = jnp.clip(col.astype(jnp.int32), 0, w - 1)
+    rowi = jnp.clip(row.astype(jnp.int32), 0, h - 1)
+    cell_id = jnp.where(in_map, rowi * w + coli, h * w)  # invalid -> sentinel
+
+    order = jnp.argsort(cell_id)
+    sorted_ids = cell_id[order]
+    rank = _segment_rank(sorted_ids)
+
+    # Cell-relative offsets (meters from owning cell center).
+    ce = geom.west + (coli.astype(points_xy.dtype) + 0.5) * geom.resolution
+    cn = geom.north - (rowi.astype(points_xy.dtype) + 0.5) * geom.resolution
+    de_all = (points_xy[:, 0] - ce)[order]
+    dn_all = (points_xy[:, 1] - cn)[order]
+    payload_sorted = payload[order]
+
+    keep = (sorted_ids < h * w) & (rank < k)
+    flat_idx = jnp.where(keep, sorted_ids * k + rank, h * w * k)
+
+    de = jnp.full((h * w * k,), _FAR, points_xy.dtype)
+    dn = jnp.full((h * w * k,), _FAR, points_xy.dtype)
+    pl = jnp.zeros((h * w * k,), payload.dtype)
+    de = de.at[flat_idx].set(de_all, mode="drop")
+    dn = dn.at[flat_idx].set(dn_all, mode="drop")
+    pl = pl.at[flat_idx].set(payload_sorted, mode="drop")
+
+    count = jnp.zeros((h * w,), jnp.int32)
+    count = count.at[jnp.where(in_map, rowi * w + coli, h * w)].add(
+        1, mode="drop"
+    )
+
+    return BinnedPoints(
+        de=de.reshape(h, w, k),
+        dn=dn.reshape(h, w, k),
+        payload=pl.reshape(h, w, k),
+        count=count.reshape(h, w),
+    )
+
+
+def _window_halfwidth(max_radius_sq: float, resolution: float) -> int:
+    """Cells needed so the window covers the max search radius.
+
+    A point in a neighbor cell at offset o (cells) can be as close as
+    (o-1)*resolution from the query center, so we need (hw)*res >= r_max + res.
+    """
+    r_max = math.sqrt(max_radius_sq)
+    return max(1, int(math.ceil(r_max / resolution)) + 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("geom", "radius_sq", "adaptive", "growth", "max_radius_sq"),
+)
+def binned_idw(
+    binned: BinnedPoints,
+    geom: MapGeometry,
+    radius_sq: float,
+    adaptive: bool = True,
+    growth: float = 1.1,
+    max_radius_sq: float = 7.0,
+):
+    """IDW interpolation of ``binned.payload`` onto every map cell.
+
+    Returns ``(values [H, W], hit_mask [H, W])``; cells with no neighbor in
+    the (possibly grown) radius have hit_mask False (the reference leaves the
+    layer value untouched there, dsm.cc:79-106).
+    """
+    h, w, k = binned.de.shape
+    dtype = binned.de.dtype
+    hw = _window_halfwidth(max_radius_sq if adaptive else radius_sq,
+                           geom.resolution)
+    win = 2 * hw + 1
+
+    pad = ((hw, hw), (hw, hw), (0, 0))
+    de_p = jnp.pad(binned.de, pad, constant_values=_FAR)
+    dn_p = jnp.pad(binned.dn, pad, constant_values=_FAR)
+    pl_p = jnp.pad(binned.payload, pad, constant_values=0.0)
+
+    res = jnp.asarray(geom.resolution, dtype)
+
+    def window_view(arr, oi, oj):
+        return jax.lax.dynamic_slice(arr, (oi, oj, 0), (h, w, k))
+
+    def d2_at(oi, oj):
+        # Source point position relative to query cell center:
+        # offset-from-own-cell + (cell offset) * resolution.
+        # oi is row offset (northing decreases with row), oj is col offset.
+        dj = (oj - hw).astype(dtype)
+        di = (oi - hw).astype(dtype)
+        de = window_view(de_p, oi, oj) + dj * res
+        dn = window_view(dn_p, oi, oj) - di * res
+        return de * de + dn * dn
+
+    # ---- Pass 1: squared distance to the nearest point per cell. ----
+    def min_body(o, d2min):
+        oi, oj = o // win, o % win
+        d2 = d2_at(oi, oj)
+        return jnp.minimum(d2min, jnp.min(d2, axis=-1))
+
+    d2min = jax.lax.fori_loop(
+        0, win * win, min_body, jnp.full((h, w), _FAR, dtype)
+    )
+
+    # ---- Effective per-cell squared radius (adaptive ladder). ----
+    if adaptive:
+        # smallest radius_sq * growth^k strictly greater than d2min
+        ratio = jnp.maximum(d2min / radius_sq, 1e-30)
+        kk = jnp.ceil(jnp.log(ratio) / math.log(growth))
+        # strict inequality: if d2min == radius_sq * growth^k exactly, grow once
+        kk = jnp.where(
+            radius_sq * jnp.power(growth, kk) <= d2min, kk + 1.0, kk
+        )
+        kk = jnp.maximum(kk, 0.0)
+        r_eff = radius_sq * jnp.power(growth, kk)
+        r_eff = jnp.where(d2min < radius_sq, radius_sq, r_eff)
+        ok = r_eff <= max_radius_sq * (1.0 + 1e-6)
+        r_eff = jnp.where(ok, r_eff, 0.0)  # empty neighbor set
+    else:
+        r_eff = jnp.full((h, w), radius_sq, dtype)
+
+    # ---- Pass 2: accumulate IDW sums within r_eff. ----
+    def sum_body(o, carry):
+        num, den, exact_val, exact_hit = carry
+        oi, oj = o // win, o % win
+        d2 = d2_at(oi, oj)
+        pl = window_view(pl_p, oi, oj)
+        in_r = d2 < r_eff[..., None]
+        is_exact = in_r & (d2 <= _EXACT_EPS)
+        wgt = jnp.where(in_r & ~is_exact, 1.0 / jnp.maximum(d2, _EXACT_EPS), 0.0)
+        num = num + jnp.sum(wgt * pl, axis=-1)
+        den = den + jnp.sum(wgt, axis=-1)
+        any_exact = jnp.any(is_exact, axis=-1)
+        first_exact = pl[
+            jnp.arange(h)[:, None],
+            jnp.arange(w)[None, :],
+            jnp.argmax(is_exact, axis=-1),
+        ]
+        exact_val = jnp.where(~exact_hit & any_exact, first_exact, exact_val)
+        exact_hit = exact_hit | any_exact
+        return num, den, exact_val, exact_hit
+
+    num0 = jnp.zeros((h, w), dtype)
+    den0 = jnp.zeros((h, w), dtype)
+    ex0 = jnp.zeros((h, w), dtype)
+    exh0 = jnp.zeros((h, w), jnp.bool_)
+    num, den, exact_val, exact_hit = jax.lax.fori_loop(
+        0, win * win, sum_body, (num0, den0, ex0, exh0)
+    )
+
+    hit = (den > 0.0) | exact_hit
+    values = jnp.where(
+        exact_hit, exact_val, num / jnp.where(den > 0.0, den, 1.0)
+    )
+    return values, hit
+
+
+def update_elevation_layer(
+    map_layers: dict,
+    points_xyz: jax.Array,
+    valid: jax.Array,
+    geom: MapGeometry,
+    cfg: DsmConfig,
+) -> dict:
+    """DSM entry point: IDW of point z onto the ``elevation`` layer.
+
+    Mirrors ``dsm::Dsm::process`` (dsm.cc:186-201): cells without neighbors
+    keep their previous value (NaN on a fresh map). The reference's
+    center_easting/northing offsets (dsm.cc:42-43) are handled by the map
+    geometry itself.
+    """
+    binned = bin_points(
+        points_xyz[:, :2],
+        points_xyz[:, 2],
+        valid,
+        geom,
+        cfg.bin_capacity,
+    )
+    values, hit = binned_idw(
+        binned,
+        geom,
+        radius_sq=cfg.interpolation_radius_sq,
+        adaptive=cfg.adaptive_interpolation,
+        growth=cfg.adaptive_growth_factor,
+        max_radius_sq=cfg.max_radius_sq,
+    )
+    old = map_layers["elevation"]
+    new = dict(map_layers)
+    new["elevation"] = jnp.where(hit, values, old)
+    return new
+
+
+def ortho_from_points(
+    map_layers: dict,
+    points_xyz: jax.Array,
+    intensities: jax.Array,
+    valid: jax.Array,
+    geom: MapGeometry,
+    cfg: OrthoFromPclConfig,
+) -> dict:
+    """Ortho backend C: IDW of pixel intensities onto the ``ortho`` layer.
+
+    Mirrors ``ortho::OrthoFromPcl::process`` (ortho-from-pcl.cc:20-107) —
+    same kd-tree/IDW machinery as the DSM but with intensity payload.
+    """
+    binned = bin_points(
+        points_xyz[:, :2],
+        intensities.astype(jnp.float32),
+        valid,
+        geom,
+        cfg.bin_capacity,
+    )
+    values, hit = binned_idw(
+        binned,
+        geom,
+        radius_sq=cfg.interpolation_radius_sq,
+        adaptive=cfg.use_adaptive_interpolation,
+        growth=cfg.adaptive_growth_factor,
+        max_radius_sq=cfg.max_radius_sq,
+    )
+    new = dict(map_layers)
+    new["ortho"] = jnp.where(hit, values, map_layers["ortho"])
+    return new

@@ -1,0 +1,328 @@
+"""Dense stereo correspondence on TPU: cost-volume BM and semi-global matching.
+
+Replaces the reference's thin OpenCV wrappers
+(``aerial_mapper_dense_pcl/src/block-matching-{bm,sgbm}.cpp``, parameter
+defaults at ``common.h:81-110``). Instead of calling an opaque CPU matcher we
+build the disparity cost volume as one dense gather + integral-image box
+filter (VPU-friendly, static shapes) and aggregate:
+
+- **BM**: x-Sobel prefilter, SAD winner-take-all + parabolic sub-pixel,
+  texture threshold, uniqueness ratio, left-right consistency, windowed
+  speckle suppression — the same post-filter suite cv::StereoBM applies.
+- **SGM**: the Hirschmuller semi-global recurrence over 4 scan directions,
+  each expressed as a ``lax.scan`` along the direction with the full
+  perpendicular axis and disparity axis vectorized (SURVEY.md §7.3 "SGBM on
+  TPU"). P1/P2 defaults follow common.h:85-96.
+
+Disparity convention matches OpenCV: d = u_left - u_right >= 0; invalid
+pixels get ``INVALID_DISPARITY`` (the reference masks invalid/out-of-mask
+disparities to 1.0 = kMaxInvalidDisparity, block-matching-sgbm.cpp:29-37, and
+triangulation keeps only d > 1, densifier.cpp:60).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.config import BlockMatchingConfig, SgmConfig
+
+INVALID_DISPARITY = 1.0  # kMaxInvalidDisparity (common.h / densifier.cpp:60)
+_BIG = 1.0e9
+
+
+def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
+    """Sum over a k x k window (edge-padded), via integral images.
+
+    O(1) per pixel independent of k — the reason we can afford block 15.
+    """
+    r = k // 2
+    for ax in axes:
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (r + 1, r)
+        xp = jnp.pad(x, pad, mode="edge")
+        cs = jnp.cumsum(xp, axis=ax)
+        upper = jax.lax.slice_in_dim(cs, k, cs.shape[ax], axis=ax % x.ndim)
+        lower = jax.lax.slice_in_dim(cs, 0, cs.shape[ax] - k, axis=ax % x.ndim)
+        x = upper - lower
+    return x
+
+
+def _xsobel_prefilter(image: jax.Array, cap: float) -> jax.Array:
+    """cv::StereoBM's PREFILTER_XSOBEL: horizontal Sobel clamped to [-cap, cap],
+    shifted by +cap so values stay positive."""
+    p = jnp.pad(image, ((1, 1), (1, 1)), mode="edge")
+    gx = (
+        (p[:-2, 2:] - p[:-2, :-2])
+        + 2.0 * (p[1:-1, 2:] - p[1:-1, :-2])
+        + (p[2:, 2:] - p[2:, :-2])
+    )
+    return jnp.clip(gx, -cap, cap) + cap
+
+
+def _shifted_right(image: jax.Array, num_disp: int, min_disp: int) -> jax.Array:
+    """[D, H, W] stack: out[d] = right image shifted right by (min_disp + d).
+
+    out[d][v, u] = R[v, u - (min_disp + d)], out-of-range marked by border
+    replication (cost there is later ignored via the border mask).
+    """
+    h, w = image.shape
+    u = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 1)
+    d = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 0) + min_disp
+    src = jnp.clip(u - d, 0, w - 1)  # [D, W]
+    return image[:, src].transpose(1, 0, 2)  # [H, D, W] -> [D, H, W]
+
+
+def _cost_volume_sad(
+    left: jax.Array, right: jax.Array, num_disp: int, min_disp: int, block: int
+) -> jax.Array:
+    """SAD cost volume [D, H, W] with k x k aggregation."""
+    r_stack = _shifted_right(right, num_disp, min_disp)
+    ad = jnp.abs(left[None, :, :] - r_stack)
+    return _box_filter(ad, block)
+
+
+def _bt_cost(left: jax.Array, right: jax.Array, num_disp: int,
+             min_disp: int) -> jax.Array:
+    """Birchfield-Tomasi sampling-insensitive pixel cost [D, H, W].
+
+    BT compares each left pixel against the interval spanned by the
+    half-sample interpolated right pixel (and symmetrically), which makes SGM
+    robust to rectification phase error — the same per-pixel cost cv::SGBM
+    uses before block aggregation.
+    """
+    def half_samples(img):
+        l = 0.5 * (img + jnp.roll(img, 1, axis=-1))
+        r = 0.5 * (img + jnp.roll(img, -1, axis=-1))
+        mn = jnp.minimum(jnp.minimum(l, r), img)
+        mx = jnp.maximum(jnp.maximum(l, r), img)
+        return mn, mx
+
+    lmin, lmax = half_samples(left)
+    rmin, rmax = half_samples(right)
+
+    r_v = _shifted_right(right, num_disp, min_disp)
+    rmin_v = _shifted_right(rmin, num_disp, min_disp)
+    rmax_v = _shifted_right(rmax, num_disp, min_disp)
+
+    d_lr = jnp.maximum(
+        0.0, jnp.maximum(left[None] - rmax_v, rmin_v - left[None])
+    )
+    d_rl = jnp.maximum(
+        0.0, jnp.maximum(r_v - lmax[None], lmin[None] - r_v)
+    )
+    return jnp.minimum(d_lr, d_rl)
+
+
+def _border_mask(h: int, w: int, num_disp: int, min_disp: int) -> jax.Array:
+    """[D, H, W] True where the shifted right pixel actually exists."""
+    u = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 1)
+    d = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 0) + min_disp
+    ok = (u - d) >= 0  # [D, W]
+    return jnp.broadcast_to(ok[:, None, :], (num_disp, h, w))
+
+
+def _wta_subpixel(cost: jax.Array, min_disp: int):
+    """Winner-take-all over D + parabolic sub-pixel refinement.
+
+    Returns (disparity [H, W] float, min_cost [H, W], best_idx [H, W] int).
+    """
+    num_disp = cost.shape[0]
+    best = jnp.argmin(cost, axis=0)  # [H, W]
+    c0 = jnp.min(cost, axis=0)
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    sel = lambda off: jnp.take_along_axis(  # noqa: E731
+        cost, jnp.clip(best + off, 0, num_disp - 1)[None], axis=0
+    )[0]
+    cm, cp = sel(-1), sel(+1)
+    denom = cm - 2.0 * c0 + cp
+    delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * denom), 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    interior = (best > 0) & (best < num_disp - 1)
+    disp = best.astype(cost.dtype) + jnp.where(interior, delta, 0.0) + min_disp
+    del d_idx
+    return disp, c0, best
+
+
+def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
+                     ratio: int) -> jax.Array:
+    """cv::StereoBM uniqueness: reject if some d' with |d'-best|>1 has
+    cost < c0 * (1 + ratio/100)."""
+    num_disp = cost.shape[0]
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    away = jnp.abs(d_idx - best[None]) > 1
+    runner = jnp.min(jnp.where(away, cost, _BIG), axis=0)
+    return runner >= c0 * (1.0 + ratio / 100.0)
+
+
+def _lr_consistency_mask(cost: jax.Array, disp_left: jax.Array,
+                         min_disp: int, max_diff: float) -> jax.Array:
+    """Left-right check by reusing the left cost volume:
+    cost_R[v, u, d] = cost_L[v, u + d, d] (no second matching pass)."""
+    num_disp, h, w = cost.shape
+    u = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 1)
+    d = jax.lax.broadcasted_iota(jnp.int32, (num_disp, w), 0) + min_disp
+    src = jnp.clip(u + d, 0, w - 1)  # [D, W]
+    cost_r = jnp.take_along_axis(
+        cost, jnp.broadcast_to(src[:, None, :], cost.shape), axis=2
+    )
+    disp_r = jnp.argmin(cost_r, axis=0).astype(cost.dtype) + min_disp  # [H, W]
+    # sample right disparity at u - d_L
+    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    src_u = jnp.clip(jnp.round(uu - disp_left).astype(jnp.int32), 0, w - 1)
+    d_r_at = jnp.take_along_axis(disp_r, src_u, axis=1)
+    return jnp.abs(disp_left - d_r_at) <= max_diff
+
+
+def _speckle_mask(disp: jax.Array, valid: jax.Array, window_size: int,
+                  speckle_range: float) -> jax.Array:
+    """Windowed approximation of cv::filterSpeckles: keep a pixel if enough
+    neighbors in a w x w window agree within speckle_range.
+
+    The reference relies on OpenCV's connected-component speckle filter;
+    an exact CC labeling is irregular on TPU, so we use local support counts
+    (window area matched to speckle_window_size) — same intent: kill small
+    isolated disparity islands. Documented deviation.
+    """
+    if window_size <= 0:
+        return valid
+    k = max(3, int(round(window_size ** 0.5)) | 1)
+    mean = _box_filter(jnp.where(valid, disp, 0.0), k) / jnp.maximum(
+        _box_filter(valid.astype(disp.dtype), k), 1.0
+    )
+    density = _box_filter(valid.astype(disp.dtype), k) / float(k * k)
+    coherent = jnp.abs(disp - mean) <= speckle_range
+    return valid & coherent & (density > 0.25)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def block_matching_disparity(
+    left: jax.Array,
+    right: jax.Array,
+    mask: jax.Array,
+    cfg: BlockMatchingConfig,
+) -> jax.Array:
+    """cv::StereoBM-equivalent disparity from a rectified pair.
+
+    ``mask``: bool [H, W] valid-rectification region (Rectifier mask); pixels
+    outside get INVALID_DISPARITY like block-matching-bm.cpp:29-37.
+    """
+    h, w = left.shape
+    lf = _xsobel_prefilter(left.astype(jnp.float32), cfg.pre_filter_cap)
+    rf = _xsobel_prefilter(right.astype(jnp.float32), cfg.pre_filter_cap)
+
+    cost = _cost_volume_sad(
+        lf, rf, cfg.num_disparities, cfg.min_disparity, cfg.block_size
+    )
+    border = _border_mask(h, w, cfg.num_disparities, cfg.min_disparity)
+    cost = jnp.where(border, cost, _BIG)
+
+    disp, c0, best = _wta_subpixel(cost, cfg.min_disparity)
+
+    # Texture threshold: window sum of |sobel| responses (centered at cap).
+    texture = _box_filter(jnp.abs(lf - cfg.pre_filter_cap), cfg.block_size)
+    valid = texture >= cfg.texture_threshold * cfg.block_size
+
+    valid &= _uniqueness_mask(cost, best, c0, cfg.uniqueness_ratio)
+    valid &= _lr_consistency_mask(cost, disp, cfg.min_disparity,
+                                  max(cfg.speckle_range * 0 + 1.0, 1.0))
+    valid &= mask
+    valid &= jnp.any(border, axis=0)
+    valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
+                          cfg.speckle_range)
+    return jnp.where(valid, disp, INVALID_DISPARITY)
+
+
+def _sgm_scan_1d(cost: jax.Array, p1: float, p2: float,
+                 reverse: bool) -> jax.Array:
+    """Aggregate along the last axis of ``cost`` [..., L, D] with the SGM
+    recurrence, vectorized over everything but the scan axis."""
+    if reverse:
+        cost = jnp.flip(cost, axis=-2)
+
+    num_disp = cost.shape[-1]
+
+    def step(carry, c):
+        # carry: [..., D] previous aggregated costs
+        m = jnp.min(carry, axis=-1, keepdims=True)
+        up = jnp.concatenate([carry[..., :1] + p1 + _BIG * 0,
+                              carry[..., :-1] + p1], axis=-1)
+        down = jnp.concatenate([carry[..., 1:] + p1,
+                                carry[..., -1:] + p1 + _BIG * 0], axis=-1)
+        # boundary: shifting in from outside should not win; use +P1 on the
+        # clamped copy is harmless since the clamped value >= true neighbor.
+        best = jnp.minimum(jnp.minimum(carry, up), jnp.minimum(down, m + p2))
+        out = c + best - m
+        return out, out
+
+    cost_t = jnp.moveaxis(cost, -2, 0)  # [L, ..., D]
+    init = cost_t[0]
+    _, agg = jax.lax.scan(step, init, cost_t[1:])
+    agg = jnp.concatenate([init[None], agg], axis=0)
+    agg = jnp.moveaxis(agg, 0, -2)
+    if reverse:
+        agg = jnp.flip(agg, axis=-2)
+    return agg
+    del num_disp
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sgm_disparity(
+    left: jax.Array,
+    right: jax.Array,
+    mask: jax.Array,
+    cfg: SgmConfig,
+) -> jax.Array:
+    """Semi-global matching disparity (cv::StereoSGBM-equivalent).
+
+    BT pixel cost on x-Sobel prefiltered images, block-summed
+    (block_size), aggregated along 4 scan directions, WTA + sub-pixel +
+    uniqueness + mask.
+    """
+    h, w = left.shape
+    lf = _xsobel_prefilter(left.astype(jnp.float32), 63.0)
+    rf = _xsobel_prefilter(right.astype(jnp.float32), 63.0)
+
+    cost = _bt_cost(lf, rf, cfg.num_disparities, cfg.min_disparity)
+    if cfg.block_size > 1:
+        cost = _box_filter(cost, cfg.block_size) / float(cfg.block_size**2)
+    border = _border_mask(h, w, cfg.num_disparities, cfg.min_disparity)
+    cost = jnp.where(border, cost, 1e4)
+
+    cdhw = jnp.moveaxis(cost, 0, -1)  # [H, W, D]
+
+    agg = _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=False)  # left->right
+    agg = agg + _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=True)  # right->left
+    cthw = jnp.swapaxes(cdhw, 0, 1)  # [W, H, D]
+    agg_v = _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=False)
+    agg_v = agg_v + _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=True)
+    agg = agg + jnp.swapaxes(agg_v, 0, 1)
+
+    if cfg.num_directions >= 8:
+        # Diagonal directions via row-shear: shift row i by +/- i columns so
+        # diagonals become columns, scan vertically, unshear.
+        def shear(x, sign):
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            ) % w
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+        for sign in (+1, -1):
+            sheared = shear(cdhw, sign)
+            a = _sgm_scan_1d(
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=False
+            ) + _sgm_scan_1d(
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=True
+            )
+            agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
+
+    cost_agg = jnp.moveaxis(agg, -1, 0)  # [D, H, W]
+    disp, c0, best = _wta_subpixel(cost_agg, cfg.min_disparity)
+    valid = _uniqueness_mask(cost_agg, best, c0, cfg.uniqueness_ratio)
+    valid &= mask & jnp.any(border, axis=0)
+    valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
+                          cfg.speckle_range)
+    return jnp.where(valid, disp, INVALID_DISPARITY)

@@ -1,0 +1,26 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Per SURVEY.md §4 — multi-host/tile-sharding behavior is tested with
+``xla_force_host_platform_device_count`` so no pod is needed. Must set env
+vars before jax initializes a backend.
+"""
+
+import os
+
+# Force CPU: the session env may export JAX_PLATFORMS=axon (single real TPU
+# behind a tunnel); tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)

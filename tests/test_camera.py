@@ -1,0 +1,81 @@
+"""Camera model tests: projection round-trips, distortion inversion, undistort map."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.camera import (
+    Camera,
+    back_project,
+    build_undistort_map,
+    distort,
+    project,
+    undistort_points,
+)
+
+CAM_PLAIN = Camera(fx=500.0, fy=480.0, cx=320.0, cy=240.0, width=640, height=480)
+CAM_RADTAN = CAM_PLAIN._replace(
+    dist_kind="radial-tangential",
+    dist_params=(-0.28, 0.07, 1.8e-4, 7.6e-5),
+)
+CAM_EQUI = CAM_PLAIN._replace(
+    dist_kind="equidistant", dist_params=(-0.01, 0.02, -0.005, 0.001)
+)
+
+
+def test_project_backproject_roundtrip_plain(rng):
+    pts = rng.uniform([-0.4, -0.3, 2.0], [0.4, 0.3, 50.0], size=(256, 3))
+    pts[:, :2] *= pts[:, 2:3]
+    uv, vis = project(CAM_PLAIN, jnp.asarray(pts, jnp.float32))
+    assert bool(np.all(np.asarray(vis)))
+    rays = back_project(CAM_PLAIN, uv)
+    # rays should be parallel to the original points
+    cos = np.sum(np.asarray(rays) * pts, axis=-1) / np.linalg.norm(pts, axis=-1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-6)
+
+
+def test_project_backproject_roundtrip_distorted(rng):
+    for cam in (CAM_RADTAN, CAM_EQUI):
+        pts = rng.uniform([-0.25, -0.2, 2.0], [0.25, 0.2, 50.0], size=(128, 3))
+        pts[:, :2] *= pts[:, 2:3]
+        uv, vis = project(cam, jnp.asarray(pts, jnp.float32))
+        rays = np.asarray(back_project(cam, uv))
+        cos = np.sum(rays * pts, axis=-1) / np.linalg.norm(pts, axis=-1)
+        keep = np.asarray(vis)
+        assert keep.sum() > 64
+        np.testing.assert_allclose(cos[keep], 1.0, atol=1e-5)
+
+
+def test_undistort_points_inverts_distort(rng):
+    for cam in (CAM_RADTAN, CAM_EQUI):
+        xy = rng.uniform(-0.35, 0.35, size=(256, 2)).astype(np.float32)
+        xy_d = distort(cam, jnp.asarray(xy))
+        xy_back = np.asarray(undistort_points(cam, xy_d))
+        np.testing.assert_allclose(xy_back, xy, atol=1e-4)
+
+
+def test_visibility_mask():
+    pts = jnp.asarray(
+        [
+            [0.0, 0.0, 10.0],  # center, visible
+            [0.0, 0.0, -10.0],  # behind camera
+            [100.0, 0.0, 1.0],  # off-image
+        ],
+        jnp.float32,
+    )
+    _, vis = project(CAM_PLAIN, pts)
+    assert np.asarray(vis).tolist() == [True, False, False]
+
+
+def test_undistort_map_matches_cv2():
+    cv2 = __import__("cv2")
+    map_u, map_v = build_undistort_map(CAM_RADTAN)
+    K = CAM_RADTAN.K
+    dist = np.asarray(CAM_RADTAN.dist_params)
+    cv_map_u, cv_map_v = cv2.initUndistortRectifyMap(
+        K, dist, None, K,
+        (CAM_RADTAN.width, CAM_RADTAN.height), cv2.CV_32FC1,
+    )
+    # Compare in the central region (borders differ by extrapolation policy)
+    sl = np.s_[40:-40, 40:-40]
+    np.testing.assert_allclose(np.asarray(map_u)[sl], cv_map_u[sl], atol=0.02)
+    np.testing.assert_allclose(np.asarray(map_v)[sl], cv_map_v[sl], atol=0.02)

@@ -1,0 +1,184 @@
+"""Stereo pipeline tests: rectification geometry, matching quality,
+triangulation parity, end-to-end cloud accuracy on a synthetic scene."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.config import BlockMatchingConfig, SgmConfig, StereoConfig
+from aerial_mapper_tpu.stereo import (
+    VirtualStereo,
+    block_matching_disparity,
+    rectification_transforms,
+    rectify_pair,
+    sgm_disparity,
+)
+from aerial_mapper_tpu.stereo.triangulate import triangulate_disparity
+from aerial_mapper_tpu.synth import SyntheticScene, make_survey_poses, render_image
+from aerial_mapper_tpu.testing.numpy_ref import (
+    rectification_reference,
+    triangulate_reference,
+)
+
+CAM = Camera(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
+SCENE = SyntheticScene(base_elevation=414.0, relief_amplitude=5.0)
+
+
+def nadir_pair(baseline=6.0, altitude=514.0):
+    R = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])
+    t1 = np.array([0.0, 0.0, altitude])
+    t2 = np.array([baseline, 0.0, altitude])
+    return R, t1, t2
+
+
+def test_rectification_matches_reference_algebra():
+    rng = np.random.default_rng(3)
+    R1 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    R1 *= np.sign(np.linalg.det(R1))
+    R2 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    R2 *= np.sign(np.linalg.det(R2))
+    t1 = rng.normal(size=3)
+    t2 = t1 + rng.normal(size=3)
+    K = CAM.K
+    ours = rectification_transforms(K, R1, R2, t1, t2)
+    R_ref, T1_ref, T2_ref, b_ref = rectification_reference(K, R1, R2, t1, t2)
+    np.testing.assert_allclose(ours.R_G_C_rect, R_ref, atol=1e-12)
+    np.testing.assert_allclose(ours.T1, T1_ref, atol=1e-9)
+    np.testing.assert_allclose(ours.T2, T2_ref, atol=1e-9)
+    assert abs(ours.baseline - b_ref) < 1e-12
+
+
+def test_rectified_pair_has_epipolar_alignment():
+    """After rectification, a world point must project to the same row in
+    both rectified images (the Fusiello property)."""
+    R, t1, t2 = nadir_pair()
+    tf = rectification_transforms(CAM.K, R, R, t1, t2)
+    rng = np.random.default_rng(7)
+    pts = np.stack(
+        [
+            rng.uniform(10, 80, 50),
+            rng.uniform(-30, 30, 50),
+            rng.uniform(410, 420, 50),
+        ],
+        axis=1,
+    )
+    P1 = CAM.K @ np.hstack([tf.R_G_C_rect, (tf.R_G_C_rect @ (-t1))[:, None]])
+    P2 = CAM.K @ np.hstack([tf.R_G_C_rect, (tf.R_G_C_rect @ (-t2))[:, None]])
+    ph = np.hstack([pts, np.ones((50, 1))])
+    p1 = (P1 @ ph.T).T
+    p2 = (P2 @ ph.T).T
+    v1 = p1[:, 1] / p1[:, 2]
+    v2 = p2[:, 1] / p2[:, 2]
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    # left image should be to the right in pixel coords (positive disparity)
+    u1 = p1[:, 0] / p1[:, 2]
+    u2 = p2[:, 0] / p2[:, 2]
+    assert np.all(u1 - u2 > 0)
+
+
+def render_rect_pair(baseline=6.0):
+    R, t1, t2 = nadir_pair(baseline)
+    img1 = render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                        jnp.asarray(t1, jnp.float32))
+    img2 = render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                        jnp.asarray(t2, jnp.float32))
+    rect = rectify_pair(CAM.K, R, R, t1, t2, img1, img2)
+    return rect, R, t1, t2
+
+
+def expected_disparity(rect, t1, altitude=514.0):
+    # flat-ish scene at elevation ~414 -> depth ~100 below camera;
+    # disparity ~= fx * baseline / depth
+    return float(CAM.fx) * float(rect.baseline) / (altitude - 414.0)
+
+
+def _disparity_quality(disp, rect, t1):
+    d_exp = expected_disparity(rect, t1)
+    d = np.asarray(disp)
+    valid = d > 1.0
+    interior = np.zeros_like(valid)
+    interior[40:-40, 60:-40] = True
+    sel = valid & interior & np.asarray(rect.mask)
+    assert sel.mean() > 0.2, f"too few valid disparities: {sel.mean()}"
+    err = np.abs(d[sel] - d_exp)
+    # terrain relief (+-5 m at 100 m depth, 6 m baseline) moves true disparity
+    # by ~1 px; accept median within 1.5 px of the flat-ground estimate
+    assert np.median(err) < 1.5, f"median disparity err {np.median(err)}"
+
+
+def test_block_matching_on_synthetic_pair():
+    rect, R, t1, t2 = render_rect_pair()
+    disp = block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        BlockMatchingConfig(num_disparities=48),
+    )
+    _disparity_quality(disp, rect, t1)
+
+
+def test_sgm_on_synthetic_pair():
+    rect, R, t1, t2 = render_rect_pair()
+    disp = sgm_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        SgmConfig(num_disparities=48),
+    )
+    _disparity_quality(disp, rect, t1)
+
+
+def test_triangulation_parity_with_reference_loop():
+    rng = np.random.default_rng(11)
+    h, w = 12, 16
+    disparity = rng.uniform(0.0, 20.0, size=(h, w))
+    image = rng.uniform(0, 255, size=(h, w))
+    R_rect = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    R_rect *= np.sign(np.linalg.det(R_rect))
+    t1 = np.array([3.0, -2.0, 90.0])
+    baseline = 5.0
+    K = CAM.K
+
+    pts, intens, valid = triangulate_disparity(
+        jnp.asarray(disparity, jnp.float32),
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(R_rect, jnp.float32),
+        jnp.asarray(t1, jnp.float32),
+        jnp.asarray(baseline, jnp.float32),
+        fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy,
+    )
+    # Reference loop triangulates with R_G_C * p (densifier.cpp:72); we use
+    # the corrected R^T (see triangulate.py) — feed the transpose to compare.
+    ref_pts, ref_int = triangulate_reference(
+        disparity, image, K, baseline, R_rect.T, t1
+    )
+    ours = np.asarray(pts)[np.asarray(valid)]
+    np.testing.assert_allclose(ours, ref_pts, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(intens)[np.asarray(valid)], ref_int, atol=1e-3
+    )
+
+
+def test_end_to_end_cloud_accuracy():
+    """Virtual stereo over 4 synthetic frames: triangulated points must lie
+    on the analytic terrain within ~1 m vertically (median)."""
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=6.0)
+    images = [
+        render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                     jnp.asarray(t, jnp.float32))
+        for R, t in zip(Rs, ts)
+    ]
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs)))
+    engine = VirtualStereo(
+        CAM,
+        StereoConfig(matcher="bm"),
+        bm_cfg=BlockMatchingConfig(num_disparities=48),
+    )
+    results = engine.process_sequence(images, quats, ts)
+    assert len(results) == 3
+    pts = np.concatenate([np.asarray(r.points)[np.asarray(r.valid)]
+                          for r in results])
+    assert pts.shape[0] > 10000
+    z_true = np.asarray(
+        SCENE.height(jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]))
+    )
+    err = np.abs(pts[:, 2] - z_true)
+    assert np.median(err) < 1.0, f"median vertical error {np.median(err)} m"
