@@ -1,0 +1,6 @@
+from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update  # noqa: F401
+from aerial_mapper_tpu.ortho.homography import (  # noqa: F401
+    homography_mosaic_batch,
+    homography_mosaic_update,
+)
+from aerial_mapper_tpu.ortho.from_points import ortho_from_points  # noqa: F401

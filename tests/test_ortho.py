@@ -1,0 +1,211 @@
+"""Ortho backend tests: backward-grid parity vs reference loop, homography
+mosaic ground-truth accuracy, ortho-from-points IDW."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.config import (
+    OrthoBackwardGridConfig,
+    OrthoFromPclConfig,
+    OrthoHomographyConfig,
+)
+from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+from aerial_mapper_tpu.mapgrid import MapGeometry, cell_centers, create_map_state
+from aerial_mapper_tpu.ortho import (
+    backward_grid_update,
+    homography_mosaic_batch,
+    ortho_from_points,
+)
+from aerial_mapper_tpu.synth import SyntheticScene, make_survey_poses, render_image
+from aerial_mapper_tpu.testing.numpy_ref import backward_grid_reference, idw_reference
+
+CAM = Camera(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
+SCENE = SyntheticScene(base_elevation=414.0, relief_amplitude=4.0)
+GEOM = MapGeometry(center_easting=40.0, center_northing=0.0, resolution=1.0,
+                   height=48, width=64)
+
+
+def synth_views(n=6, altitude=514.0, spacing=15.0):
+    Rs, ts = make_survey_poses(n, altitude=altitude, spacing=spacing)
+    images = jnp.stack(
+        [
+            render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    return Rs, ts, images
+
+
+def test_backward_grid_parity_with_reference_loop():
+    Rs, ts, images = synth_views()
+    state = create_map_state(GEOM)
+    # known elevation: analytic terrain
+    ce, cn = cell_centers(GEOM)
+    elev = SCENE.height(ce, cn)
+    layers = dict(state.layers)
+    layers["elevation"] = elev
+
+    quats = jnp.asarray(
+        matrix_to_quat(jnp.asarray(Rs, jnp.float32)), jnp.float32
+    )
+    out = backward_grid_update(
+        layers, quats, jnp.asarray(ts, jnp.float32), images,
+        GEOM, CAM, OrthoBackwardGridConfig(cell_chunk=512),
+    )
+
+    cells = np.stack(
+        [np.asarray(ce).ravel(), np.asarray(cn).ravel(),
+         np.asarray(elev).ravel()], axis=1
+    )
+    ref_ortho, ref_angle, ref_obs = backward_grid_reference(
+        cells, Rs, ts, np.asarray(images), CAM.K
+    )
+
+    got_angle = np.asarray(out["elevation_angle"]).ravel()
+    got_obs = np.asarray(out["observation_index"]).ravel()
+    got_ortho = np.asarray(out["ortho"]).ravel()
+
+    seen = ref_obs >= 0
+    assert seen.mean() > 0.5
+    np.testing.assert_allclose(got_angle[seen], ref_angle[seen], atol=1e-4)
+    # angle ties at float precision can flip the chosen image; require match
+    # on the overwhelming majority and identical texel values elsewhere
+    same_idx = got_obs[seen] == ref_obs[seen]
+    assert same_idx.mean() > 0.99
+    np.testing.assert_allclose(
+        got_ortho[seen][same_idx], ref_ortho[seen][same_idx], atol=1e-3
+    )
+    # unseen cells untouched (ortho init 255, angle 0, obs NaN)
+    assert np.all(got_ortho[~seen] == 255.0)
+    assert np.all(np.isnan(got_obs[~seen]))
+
+
+def test_backward_grid_incremental_equals_batch():
+    """Two sequential half-batches must equal one full batch (the
+    best-angle layer makes updates idempotent/order-independent,
+    ortho-backward-grid.cc:180-183)."""
+    Rs, ts, images = synth_views()
+    ce, cn = cell_centers(GEOM)
+    elev = SCENE.height(ce, cn)
+    layers = dict(create_map_state(GEOM).layers)
+    layers["elevation"] = elev
+    cfg = OrthoBackwardGridConfig(cell_chunk=512)
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ts_j = jnp.asarray(ts, jnp.float32)
+
+    full = backward_grid_update(layers, quats, ts_j, images, GEOM, CAM, cfg)
+
+    half1 = backward_grid_update(
+        layers, quats[:3], ts_j[:3], images[:3], GEOM, CAM, cfg
+    )
+    half2 = backward_grid_update(
+        half1, quats[3:], ts_j[3:], images[3:], GEOM, CAM, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["ortho"]), np.asarray(half2["ortho"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["elevation_angle"]),
+        np.asarray(half2["elevation_angle"]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["num_observations"]),
+        np.asarray(half2["num_observations"]),
+    )
+
+
+def test_backward_grid_flat_plane_mode():
+    Rs, ts, images = synth_views()
+    layers = dict(create_map_state(GEOM).layers)  # elevation all NaN
+    cfg = OrthoBackwardGridConfig(
+        use_digital_elevation_map=False, orthomosaic_elevation_m=414.0,
+        cell_chunk=512,
+    )
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    out = backward_grid_update(
+        layers, quats, jnp.asarray(ts, jnp.float32), images, GEOM, CAM, cfg
+    )
+    ortho = np.asarray(out["ortho"])
+    assert (ortho != 255.0).mean() > 0.5  # most cells textured
+
+
+def test_homography_mosaic_matches_ground_truth_texture():
+    """Flat scene -> the mosaic must reproduce the analytic ground texture."""
+    flat = SyntheticScene(base_elevation=414.0, relief_amplitude=0.0)
+    Rs, ts = make_survey_poses(8, altitude=514.0, spacing=12.0)
+    images = jnp.stack(
+        [
+            render_image(flat, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0,
+        width_mosaic_pixels=128,
+        height_mosaic_pixels=96,
+        resolution=1.0,
+        origin=(45.0, 0.0, 0.0),
+    )
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    mosaic = homography_mosaic_batch(
+        images, quats, jnp.asarray(ts, jnp.float32), CAM, cfg,
+        needs_undistortion=False,
+    )
+    mosaic = np.asarray(mosaic)
+
+    # ground truth texture at mosaic pixel centers
+    col = np.arange(128)[None, :].repeat(96, 0)
+    row = np.arange(96)[:, None].repeat(128, 1)
+    e = cfg.origin[0] + (col - 64 + 0.5) * 1.0
+    n = cfg.origin[1] + (48 - row - 0.5) * 1.0
+    tex = np.asarray(flat.texture(jnp.asarray(e), jnp.asarray(n)))
+
+    observed = mosaic > 0
+    assert observed.mean() > 0.4
+    err = np.abs(mosaic[observed] - tex[observed])
+    # nearest-neighbor sampling at 1 m/px of a smooth texture: small error
+    assert np.median(err) < 12.0, f"median mosaic err {np.median(err)}"
+    # unobserved pixels exactly 0 (reference masks them, cc:179-188)
+    assert np.all(mosaic[~observed] == 0.0)
+
+
+def test_ortho_from_points_parity(rng):
+    n = 400
+    pts = np.stack(
+        [
+            rng.uniform(GEOM.west, GEOM.west + 64, n),
+            rng.uniform(GEOM.north - 48, GEOM.north, n),
+            rng.uniform(400, 430, n),
+        ],
+        axis=1,
+    )
+    intens = rng.uniform(0, 255, n)
+    layers = dict(create_map_state(GEOM).layers)
+    cfg = OrthoFromPclConfig(
+        interpolation_radius_sq=2.0, use_adaptive_interpolation=False,
+        bin_capacity=32,
+    )
+    out = ortho_from_points(
+        layers,
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(intens, jnp.float32),
+        jnp.ones(n, bool),
+        GEOM,
+        cfg,
+    )
+    ce, cn = cell_centers(GEOM)
+    centers = np.stack([np.asarray(ce).ravel(), np.asarray(cn).ravel()], 1)
+    ref_vals, ref_hit = idw_reference(
+        pts[:, :2], intens, centers, radius_sq=2.0, adaptive=False,
+        growth=10.0, max_radius_sq=1e4,
+    )
+    got = np.asarray(out["ortho"]).ravel()
+    np.testing.assert_array_equal(
+        (got != 255.0) | ref_hit, ref_hit | (got != 255.0)
+    )
+    np.testing.assert_allclose(got[ref_hit], ref_vals[ref_hit], rtol=2e-4,
+                               atol=5e-2)
