@@ -22,7 +22,7 @@ from aerial_mapper_tpu.camera.models import (
     DIST_NONE,
     DIST_RADTAN,
 )
-from aerial_mapper_tpu.geo.se3 import Pose, matrix_to_quat
+from aerial_mapper_tpu.geo.se3 import Pose
 
 _DIST_ALIASES = {
     "none": DIST_NONE,
@@ -120,10 +120,9 @@ def load_camera_rig(filename: str) -> CameraRig:
             R, t = T[:3, :3], T[:3, 3]
         else:
             R, t = np.eye(3), np.zeros(3)
-        import jax.numpy as jnp
+        from aerial_mapper_tpu.io.poses import _quat_from_matrix_np
 
-        q = np.asarray(matrix_to_quat(jnp.asarray(R, dtype=jnp.float64)))
-        quats.append(q)
+        quats.append(_quat_from_matrix_np(R))
         trans.append(t)
 
     return CameraRig(
@@ -137,10 +136,9 @@ def save_camera_rig(rig: CameraRig, filename: str) -> None:
     """Serialize a rig back to the aslam-compatible YAML schema."""
     entries = []
     for i, cam in enumerate(rig.cameras):
-        from aerial_mapper_tpu.geo.se3 import quat_to_matrix
-        import jax.numpy as jnp
+        from aerial_mapper_tpu.io.poses import _rot_matrix_np
 
-        R = np.asarray(quat_to_matrix(jnp.asarray(rig.T_C_B_quats[i], jnp.float64)))
+        R = _rot_matrix_np(rig.T_C_B_quats[i])
         t = rig.T_C_B_trans[i]
         T_C_B = np.eye(4)
         T_C_B[:3, :3] = R

@@ -1,0 +1,164 @@
+"""Shared CLI plumbing for the demo entry points.
+
+The reference's demos are gflags binaries composed from ``--flagfile=*.ff``
+(SURVEY.md §5 "Config / flag system"). We mirror the flag names
+(``--data_directory``, ``--filename_poses``, ``--center_easting`` ...) with
+argparse and support the same ``--flagfile`` indirection so the reference's
+.ff files translate line-for-line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+from aerial_mapper_tpu.config import (
+    BlockMatchingConfig,
+    DsmConfig,
+    GridMapConfig,
+    OrthoBackwardGridConfig,
+    OrthoFromPclConfig,
+    OrthoHomographyConfig,
+    PipelineConfig,
+    SgmConfig,
+    StereoConfig,
+)
+from aerial_mapper_tpu.io.poses import PoseFormat
+from aerial_mapper_tpu.pipeline.dataset import Dataset, load_dataset
+
+
+def expand_flagfiles(argv: List[str]) -> List[str]:
+    """Inline ``--flagfile=path`` arguments (gflags-style)."""
+    out: List[str] = []
+    for arg in argv:
+        if arg.startswith("--flagfile="):
+            with open(arg.split("=", 1)[1]) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        out.append(line)
+        else:
+            out.append(arg)
+    return out
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--data_directory", required=True,
+                   help="Directory with poses, images, calibration file.")
+    p.add_argument("--filename_camera_rig", default="camera_fixed_wing.yaml")
+    p.add_argument("--filename_poses", default="opt_poses.txt")
+    p.add_argument("--prefix_images", default="image_")
+    p.add_argument("--pose_format", default="standard",
+                   choices=[f.value for f in PoseFormat])
+    p.add_argument("--image_extension", default=".jpg")
+    p.add_argument("--load_colored_images", action="store_true")
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--origin", type=float, nargs=3, default=None,
+                   metavar=("E", "N", "ALT"),
+                   help="Origin subtracted from poses (UTM meters).")
+    p.add_argument("--utm_zone", type=int, default=32)
+    p.add_argument("--alsologtostderr", action="store_true", default=True,
+                   help="accepted for reference flagfile compatibility")
+    p.add_argument("--v", type=int, default=0,
+                   help="verbosity (reference flagfile compatibility)")
+    return p
+
+
+def add_grid_flags(p: argparse.ArgumentParser):
+    p.add_argument("--center_easting", type=float, default=0.0)
+    p.add_argument("--center_northing", type=float, default=0.0)
+    p.add_argument("--delta_easting", type=float, default=200.0)
+    p.add_argument("--delta_northing", type=float, default=200.0)
+    p.add_argument("--resolution", type=float, default=1.0)
+
+
+def add_stereo_flags(p: argparse.ArgumentParser):
+    p.add_argument("--dense_pcl_use_every_nth_image", type=int, default=10)
+    p.add_argument("--use_BM", action="store_true", default=True)
+    p.add_argument("--use_SGM", dest="use_BM", action="store_false")
+    p.add_argument("--num_disparities", type=int, default=80)
+    p.add_argument("--images_need_undistortion", action="store_true")
+
+
+def add_dsm_flags(p: argparse.ArgumentParser):
+    p.add_argument("--interpolation_radius", type=float, default=1.0,
+                   help="nanoflann-compatible squared-distance radius (m^2)")
+    p.add_argument("--adaptive_interpolation", action="store_true",
+                   default=True)
+
+
+def parse(p: argparse.ArgumentParser, argv: Optional[List[str]] = None):
+    argv = sys.argv[1:] if argv is None else argv
+    args = p.parse_args(expand_flagfiles(argv))
+    logging.basicConfig(
+        level=logging.DEBUG if args.v and args.v > 0 else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    return args
+
+
+def dataset_from_args(args) -> Dataset:
+    return load_dataset(
+        args.data_directory,
+        args.filename_camera_rig,
+        args.filename_poses,
+        args.prefix_images,
+        pose_format=PoseFormat(args.pose_format),
+        color=getattr(args, "load_colored_images", False),
+        origin=args.origin,
+        extension=args.image_extension,
+        max_frames=args.max_frames,
+    )
+
+
+def pipeline_config_from_args(args) -> PipelineConfig:
+    grid = GridMapConfig(
+        center_easting=getattr(args, "center_easting", 0.0),
+        center_northing=getattr(args, "center_northing", 0.0),
+        delta_easting=getattr(args, "delta_easting", 200.0),
+        delta_northing=getattr(args, "delta_northing", 200.0),
+        resolution=getattr(args, "resolution", 1.0),
+    )
+    stereo = StereoConfig(
+        use_every_nth_image=getattr(args, "dense_pcl_use_every_nth_image", 1),
+        images_need_undistortion=getattr(args, "images_need_undistortion",
+                                         False),
+        matcher="bm" if getattr(args, "use_BM", True) else "sgm",
+    )
+    bm = BlockMatchingConfig(
+        num_disparities=getattr(args, "num_disparities", 80))
+    sgm = SgmConfig(num_disparities=getattr(args, "num_disparities", 80))
+    dsm = DsmConfig(
+        interpolation_radius_sq=getattr(args, "interpolation_radius", 1.0),
+        adaptive_interpolation=getattr(args, "adaptive_interpolation", True),
+        center_easting=grid.center_easting,
+        center_northing=grid.center_northing,
+    )
+    ortho_backward = OrthoBackwardGridConfig(
+        orthomosaic_elevation_m=getattr(
+            args, "orthomosaic_elevation_m", 0.0),
+        use_digital_elevation_map=getattr(
+            args, "use_digital_elevation_map", True),
+        colored_ortho=getattr(args, "colored_ortho", False),
+    )
+    ortho_homography = OrthoHomographyConfig(
+        ground_plane_elevation_m=getattr(
+            args, "ground_plane_elevation_m", 414.0),
+        width_mosaic_pixels=getattr(args, "width_mosaic_pixels", 1000),
+        height_mosaic_pixels=getattr(args, "height_mosaic_pixels", 1000),
+        resolution=getattr(args, "mosaic_resolution", 1.0),
+        origin=tuple(getattr(args, "mosaic_origin", (0.0, 0.0, 0.0))),
+    )
+    ortho_from_pcl = OrthoFromPclConfig(
+        interpolation_radius_sq=getattr(args, "interpolation_radius", 2.0),
+        use_adaptive_interpolation=getattr(
+            args, "adaptive_interpolation", False),
+    )
+    return PipelineConfig(
+        grid=grid, stereo=stereo, bm=bm, sgm=sgm, dsm=dsm,
+        ortho_backward=ortho_backward, ortho_homography=ortho_homography,
+        ortho_from_pcl=ortho_from_pcl,
+    )

@@ -1,0 +1,47 @@
+"""CLI: digital surface model from point cloud or image sequence.
+
+Mirrors ``aerial_mapper_demos_dsm`` (main-dsm.cc:46-111).
+"""
+
+from aerial_mapper_tpu.cli import common
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    common.add_grid_flags(p)
+    common.add_stereo_flags(p)
+    common.add_dsm_flags(p)
+    p.add_argument("--point_cloud_filename", default="",
+                   help="Load cloud from txt instead of running stereo.")
+    p.add_argument("--output_geotiff", default="/tmp/dsm.tif")
+    p.add_argument("--output_layers_npz", default=None)
+    p.add_argument("--output_png", default=None,
+                   help="Optional false-color elevation PNG.")
+    args = common.parse(p, argv)
+
+    from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
+    from aerial_mapper_tpu.pipeline.batch import run_dsm
+
+    dataset = common.dataset_from_args(args)
+    cfg = common.pipeline_config_from_args(args)
+    cloud = None
+    if args.point_cloud_filename:
+        cloud = load_point_cloud_txt(args.point_cloud_filename)
+    layers, geom = run_dsm(
+        dataset, cfg, point_cloud=cloud,
+        output_geotiff=args.output_geotiff,
+        output_layers_npz=args.output_layers_npz,
+        utm_zone=args.utm_zone,
+    )
+    if args.output_png:
+        import numpy as np
+
+        from aerial_mapper_tpu.io.images import save_image
+        from aerial_mapper_tpu.utils.palettes import apply_palette
+
+        save_image(args.output_png,
+                   apply_palette(np.asarray(layers["elevation"]), "terrain"))
+
+
+if __name__ == "__main__":
+    main()

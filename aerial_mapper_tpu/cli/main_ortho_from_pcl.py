@@ -1,0 +1,39 @@
+"""CLI: orthomosaic from a point cloud by intensity IDW.
+
+Mirrors ``aerial_mapper_demos_ortho_from_pcl`` (main-ortho-from-pcl.cc).
+"""
+
+from aerial_mapper_tpu.cli import common
+
+
+def main(argv=None):
+    p = common.base_parser(__doc__)
+    common.add_grid_flags(p)
+    common.add_stereo_flags(p)
+    p.add_argument("--interpolation_radius", type=float, default=2.0)
+    p.add_argument("--adaptive_interpolation", action="store_true")
+    p.add_argument("--point_cloud_filename", default="")
+    p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_pcl.jpg")
+    p.add_argument("--output_geotiff", default=None)
+    args = common.parse(p, argv)
+
+    from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
+    from aerial_mapper_tpu.pipeline.batch import run_ortho_from_pcl
+
+    cloud = None
+    dataset = None
+    if args.point_cloud_filename:
+        cloud = load_point_cloud_txt(args.point_cloud_filename)
+    else:
+        dataset = common.dataset_from_args(args)
+    cfg = common.pipeline_config_from_args(args)
+    run_ortho_from_pcl(
+        dataset, cfg, point_cloud=cloud,
+        output_jpg=args.orthomosaic_jpg_filename,
+        output_geotiff=args.output_geotiff,
+        utm_zone=args.utm_zone,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Batch pipeline drivers — one per reference demo executable.
+
+Each function replays one of the reference mains end-to-end
+(SURVEY.md §3 call stacks) on the TPU path and returns/persists typed
+artifacts:
+
+- ``run_dense_pcl``       <- aerial_mapper_demos_dense_pcl (main-dense-pcl.cc)
+- ``run_dsm``             <- aerial_mapper_demos_dsm (main-dsm.cc)
+- ``run_ortho_backward_grid`` <- ..._ortho_backward_grid (batch mode)
+- ``run_ortho_forward_homography`` <- ..._ortho_forward_homography
+- ``run_ortho_from_pcl``  <- ..._ortho_from_pcl
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from aerial_mapper_tpu.config import PipelineConfig
+from aerial_mapper_tpu.dsm.idw import ortho_from_points, update_elevation_layer
+from aerial_mapper_tpu.io.artifacts import save_layers, save_points
+from aerial_mapper_tpu.io.geotiff import write_geotiff
+from aerial_mapper_tpu.io.images import save_image
+from aerial_mapper_tpu.io.pointcloud import save_point_cloud_txt
+from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
+from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+from aerial_mapper_tpu.ortho.homography import homography_mosaic_batch
+from aerial_mapper_tpu.pipeline.dataset import Dataset
+from aerial_mapper_tpu.stereo.pipeline import VirtualStereo
+from aerial_mapper_tpu.utils.timing import StageTimer
+
+logger = logging.getLogger("aerial_mapper_tpu")
+
+
+def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
+    """Shared stereo front-end: images + poses -> stacked point buffers."""
+    engine = VirtualStereo(
+        dataset.rig.camera, cfg.stereo, bm_cfg=cfg.bm, sgm_cfg=cfg.sgm
+    )
+    quats_c, trans_c = dataset.camera_poses()
+    images = [jnp.asarray(im, jnp.float32) for im in dataset.images]
+    with timer.stage("dense_pcl", work_items=len(images)):
+        results = engine.process_sequence(images, quats_c, trans_c)
+    if not results:
+        raise ValueError("Sequence produced no stereo pairs")
+    points = jnp.concatenate([r.points for r in results])
+    intens = jnp.concatenate([r.intensities for r in results])
+    valid = jnp.concatenate([r.valid for r in results])
+    return points, intens, valid
+
+
+def run_dense_pcl(
+    dataset: Dataset,
+    cfg: PipelineConfig = PipelineConfig(),
+    output_cloud_txt: Optional[str] = None,
+    output_cloud_npz: Optional[str] = None,
+):
+    """Dense reconstruction demo (main-dense-pcl.cc:35-75)."""
+    timer = StageTimer()
+    points, intens, valid = _stereo_cloud(dataset, cfg, timer)
+    logger.info("dense_pcl: %d valid points", int(np.asarray(valid).sum()))
+    if output_cloud_npz:
+        save_points(output_cloud_npz, points, intens, valid)
+    if output_cloud_txt:
+        v = np.asarray(valid)
+        save_point_cloud_txt(
+            output_cloud_txt, np.asarray(points)[v], np.asarray(intens)[v]
+        )
+    logger.info(timer.report())
+    return points, intens, valid
+
+
+def _resolve_cloud(dataset, cfg, timer, point_cloud=None):
+    if point_cloud is not None:
+        points, intens = point_cloud
+        points = jnp.asarray(points, jnp.float32)
+        intens = jnp.asarray(intens, jnp.float32)
+        valid = jnp.ones(points.shape[0], bool)
+        return points, intens, valid
+    return _stereo_cloud(dataset, cfg, timer)
+
+
+def run_dsm(
+    dataset: Dataset,
+    cfg: PipelineConfig = PipelineConfig(),
+    point_cloud: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    output_geotiff: Optional[str] = None,
+    output_layers_npz: Optional[str] = None,
+    utm_zone: int = 32,
+):
+    """DSM demo (main-dsm.cc:46-111): cloud (given or generated) -> elevation
+    layer -> float32 GeoTiff."""
+    timer = StageTimer()
+    geom = MapGeometry.from_config(cfg.grid)
+    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
+
+    layers = dict(create_map_state(geom).layers)
+    with timer.stage("dsm", work_items=geom.height * geom.width / 1e6):
+        layers = update_elevation_layer(layers, points, valid, geom, cfg.dsm)
+    if output_layers_npz:
+        save_layers(output_layers_npz,
+                    {k: np.asarray(v) for k, v in layers.items()}, geom)
+    if output_geotiff:
+        write_geotiff(
+            output_geotiff, np.asarray(layers["elevation"], np.float32),
+            west=geom.west, north=geom.north, resolution=geom.resolution,
+            utm_zone=utm_zone,
+        )
+    logger.info(timer.report())
+    return layers, geom
+
+
+def run_ortho_backward_grid(
+    dataset: Dataset,
+    cfg: PipelineConfig = PipelineConfig(),
+    point_cloud: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    output_geotiff: Optional[str] = None,
+    output_jpg: Optional[str] = None,
+    output_layers_npz: Optional[str] = None,
+    utm_zone: int = 32,
+):
+    """Batch backward-grid demo (main-ortho-backward-grid.cc:66-145):
+    DSM first, then best-angle ortho texturing against all images."""
+    timer = StageTimer()
+    layers, geom = run_dsm(dataset, cfg, point_cloud=point_cloud)
+
+    quats_c, trans_c = dataset.camera_poses()
+    images = jnp.stack([jnp.asarray(im, jnp.float32) for im in dataset.images])
+    with timer.stage(
+        "ortho_backward", work_items=geom.height * geom.width / 1e6
+    ):
+        layers = backward_grid_update(
+            layers,
+            jnp.asarray(quats_c, jnp.float32),
+            jnp.asarray(trans_c, jnp.float32),
+            images,
+            geom,
+            dataset.rig.camera,
+            cfg.ortho_backward,
+        )
+    target = "colored_ortho" if cfg.ortho_backward.colored_ortho else "ortho"
+    ortho = np.asarray(layers[target])
+    if output_layers_npz:
+        save_layers(output_layers_npz,
+                    {k: np.asarray(v) for k, v in layers.items()}, geom)
+    if output_jpg:
+        save_image(output_jpg, ortho)
+    if output_geotiff:
+        write_geotiff(
+            output_geotiff, np.clip(ortho, 0, 255).astype(np.uint8),
+            west=geom.west, north=geom.north, resolution=geom.resolution,
+            utm_zone=utm_zone,
+        )
+    logger.info(timer.report())
+    return layers, geom
+
+
+def run_ortho_forward_homography(
+    dataset: Dataset,
+    cfg: PipelineConfig = PipelineConfig(),
+    output_jpg: Optional[str] = None,
+    output_geotiff: Optional[str] = None,
+    utm_zone: int = 32,
+):
+    """Homography mosaic demo (main-ortho-forward-homography.cc:42-103)."""
+    timer = StageTimer()
+    quats_c, trans_c = dataset.camera_poses()
+    images = jnp.stack([jnp.asarray(im, jnp.float32) for im in dataset.images])
+    hcfg = cfg.ortho_homography
+    with timer.stage(
+        "ortho_homography",
+        work_items=hcfg.width_mosaic_pixels * hcfg.height_mosaic_pixels / 1e6,
+    ):
+        mosaic = homography_mosaic_batch(
+            images,
+            jnp.asarray(quats_c, jnp.float32),
+            jnp.asarray(trans_c, jnp.float32),
+            dataset.rig.camera,
+            hcfg,
+            needs_undistortion=dataset.rig.camera.dist_kind != "none",
+        )
+    mosaic = np.asarray(mosaic)
+    if output_jpg:
+        save_image(output_jpg, mosaic)
+    if output_geotiff:
+        west = hcfg.origin[0] - hcfg.width_mosaic_pixels / 2 * hcfg.resolution
+        north = hcfg.origin[1] + hcfg.height_mosaic_pixels / 2 * hcfg.resolution
+        write_geotiff(
+            output_geotiff, np.clip(mosaic, 0, 255).astype(np.uint8),
+            west=west, north=north, resolution=hcfg.resolution,
+            utm_zone=utm_zone,
+        )
+    logger.info(timer.report())
+    return mosaic
+
+
+def run_ortho_from_pcl(
+    dataset: Optional[Dataset],
+    cfg: PipelineConfig = PipelineConfig(),
+    point_cloud: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    output_jpg: Optional[str] = None,
+    output_geotiff: Optional[str] = None,
+    utm_zone: int = 32,
+):
+    """Ortho-from-points demo (main-ortho-from-pcl.cc): IDW of intensities."""
+    timer = StageTimer()
+    geom = MapGeometry.from_config(cfg.grid)
+    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
+    layers = dict(create_map_state(geom).layers)
+    with timer.stage(
+        "ortho_from_pcl", work_items=geom.height * geom.width / 1e6
+    ):
+        layers = ortho_from_points(
+            layers, points, intens, valid, geom, cfg.ortho_from_pcl
+        )
+    ortho = np.asarray(layers["ortho"])
+    if output_jpg:
+        save_image(output_jpg, ortho)
+    if output_geotiff:
+        write_geotiff(
+            output_geotiff, np.clip(ortho, 0, 255).astype(np.uint8),
+            west=geom.west, north=geom.north, resolution=geom.resolution,
+            utm_zone=utm_zone,
+        )
+    logger.info(timer.report())
+    return layers, geom

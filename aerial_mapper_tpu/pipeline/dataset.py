@@ -1,0 +1,85 @@
+"""Dataset loading: the camera rig + body poses + image sequence triple.
+
+Mirrors the load preamble shared by every reference demo
+(``main-dense-pcl.cc:50-63``, ``main-dsm.cc:59-74``,
+``main-ortho-backward-grid.cc:82-97``): rig YAML, Standard-format poses,
+images by prefix. Body poses are converted once to camera poses via the rig
+extrinsics: T_G_C = T_G_B * T_C_B^-1 (ortho-backward-grid.cc:230-233),
+host-side in float64 before any origin subtraction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from aerial_mapper_tpu.camera.rig import CameraRig, load_camera_rig
+from aerial_mapper_tpu.io.images import load_images_by_prefix
+from aerial_mapper_tpu.io.poses import (
+    PoseFormat,
+    _quat_from_matrix_np,
+    _rot_matrix_np,
+    load_poses,
+    subtract_origin,
+)
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Host-side dataset: float64 poses (wxyz quats), float32 images."""
+
+    rig: CameraRig
+    quats_G_B: np.ndarray  # [N, 4] body-to-world
+    trans_G_B: np.ndarray  # [N, 3]
+    images: List[np.ndarray]
+    image_names: Optional[List[str]] = None
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.images)
+
+    def camera_poses(self):
+        """(quats_G_C [N,4], trans_G_C [N,3]) float64: T_G_C = T_G_B * T_B_C."""
+        n = self.quats_G_B.shape[0]
+        q_bc = self.rig.T_C_B_quats[0]
+        R_bc = _rot_matrix_np(q_bc).T  # T_B_C rotation = T_C_B^-1
+        t_bc = -R_bc @ self.rig.T_C_B_trans[0]
+        quats_out = np.zeros((n, 4))
+        trans_out = np.zeros((n, 3))
+        for i in range(n):
+            R_gb = _rot_matrix_np(self.quats_G_B[i])
+            R_gc = R_gb @ R_bc
+            quats_out[i] = _quat_from_matrix_np(R_gc)
+            trans_out[i] = self.trans_G_B[i] + R_gb @ t_bc
+        return quats_out, trans_out
+
+
+def load_dataset(
+    data_directory: str,
+    filename_camera_rig: str,
+    filename_poses: str,
+    prefix_images: str,
+    pose_format: PoseFormat = PoseFormat.STANDARD,
+    color: bool = False,
+    origin=None,
+    extension: str = ".jpg",
+    max_frames: Optional[int] = None,
+) -> Dataset:
+    rig = load_camera_rig(os.path.join(data_directory, filename_camera_rig))
+    quats, trans, meta = load_poses(
+        os.path.join(data_directory, filename_poses), pose_format
+    )
+    if origin is not None:
+        trans = subtract_origin(trans, origin)
+    n = quats.shape[0] if max_frames is None else min(max_frames, quats.shape[0])
+    quats, trans = quats[:n], trans[:n]
+    images = load_images_by_prefix(
+        os.path.join(data_directory, prefix_images), n, color=color,
+        extension=extension,
+    )
+    names = meta if isinstance(meta, list) else None
+    return Dataset(rig=rig, quats_G_B=quats, trans_G_B=trans, images=images,
+                   image_names=names)

@@ -1,0 +1,75 @@
+"""Per-stage wall-clock timing + throughput counters.
+
+Replaces the reference's ad-hoc ``ros::Time::now()`` deltas logged via VLOG
+(``dsm.cc:56,108-110``, ``ortho-backward-grid.cc:55,123-125`` — SURVEY.md §5
+"Tracing / profiling"). Works correctly with JAX's async dispatch: timers
+block on the produced arrays before reading the clock, and report Mcells/s —
+the BASELINE.json headline unit. For deep profiles use
+``jax.profiler.trace`` around a stage.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+
+logger = logging.getLogger("aerial_mapper_tpu")
+
+
+def block_until_ready_tree(tree):
+    """Block on every array in a pytree (async-dispatch-safe timing)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    return tree
+
+
+class StageTimer:
+    """Collects named stage durations and optional work counts."""
+
+    def __init__(self):
+        self.durations: Dict[str, float] = {}
+        self.work: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, work_items: Optional[float] = None,
+              result_tree=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if result_tree is not None:
+                block_until_ready_tree(result_tree)
+            dt = time.perf_counter() - t0
+            self.durations[name] = self.durations.get(name, 0.0) + dt
+            if work_items is not None:
+                self.work[name] = self.work.get(name, 0.0) + work_items
+            logger.info("dt(%s): %.4f s", name, dt)
+
+    def time_fn(self, name: str, fn, *args, work_items=None, **kwargs):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        block_until_ready_tree(out)
+        dt = time.perf_counter() - t0
+        self.durations[name] = self.durations.get(name, 0.0) + dt
+        if work_items is not None:
+            self.work[name] = self.work.get(name, 0.0) + work_items
+        return out
+
+    def throughput(self, name: str) -> Optional[float]:
+        """items/s for a stage (e.g. Mcells/s when work is in Mcells)."""
+        if name in self.work and self.durations.get(name, 0.0) > 0:
+            return self.work[name] / self.durations[name]
+        return None
+
+    def report(self) -> str:
+        lines = ["stage timings:"]
+        for name, dt in sorted(self.durations.items()):
+            tp = self.throughput(name)
+            extra = f"  ({tp:.2f} items/s)" if tp else ""
+            lines.append(f"  {name}: {dt:.4f} s{extra}")
+        return "\n".join(lines)

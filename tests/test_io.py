@@ -1,0 +1,199 @@
+"""I/O tests: pose format roundtrips, GeoTiff read/write + PIL cross-check,
+point cloud txt, stage artifacts, camera rig YAML."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aerial_mapper_tpu.camera import Camera, load_camera_rig
+from aerial_mapper_tpu.camera.rig import save_camera_rig, CameraRig
+from aerial_mapper_tpu.io import (
+    PoseFormat,
+    load_images_by_prefix,
+    load_layers,
+    load_point_cloud_txt,
+    load_points,
+    load_poses,
+    read_geotiff,
+    save_image,
+    save_layers,
+    save_point_cloud_txt,
+    save_points,
+    save_poses_standard,
+    subtract_origin,
+    write_geotiff,
+)
+from aerial_mapper_tpu.io.poses import _rot_matrix_np
+from aerial_mapper_tpu.mapgrid import MapGeometry
+
+
+def random_quats(rng, n):
+    q = rng.normal(size=(n, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q * np.where(q[:, :1] < 0, -1, 1)
+
+
+def test_standard_pose_roundtrip(tmp_path, rng):
+    quats = random_quats(rng, 12)
+    trans = rng.uniform(-1e6, 1e6, size=(12, 3))
+    path = str(tmp_path / "poses.txt")
+    save_poses_standard(path, quats, trans)
+    q2, t2, meta = load_poses(path, PoseFormat.STANDARD)
+    np.testing.assert_allclose(q2, quats, atol=1e-10)
+    np.testing.assert_allclose(t2, trans, atol=1e-6)
+    assert meta is None
+
+
+def test_ros_csv_poses(tmp_path):
+    path = str(tmp_path / "ros.csv")
+    with open(path, "w") as f:
+        f.write("# time, x, y, z, qx, qy, qz, qw\n")
+        f.write("100, 1.0, 2.0, 3.0, 0.0, 0.0, 0.0, 1.0\n")
+        f.write("200, 4.0, 5.0, 6.0, 0.0, 0.7071068, 0.0, 0.7071068\n")
+    q, t, ts = load_poses(path, PoseFormat.ROS)
+    assert q.shape == (2, 4)
+    np.testing.assert_allclose(t[0], [1, 2, 3])
+    np.testing.assert_allclose(q[0], [1, 0, 0, 0], atol=1e-7)  # wxyz
+    np.testing.assert_allclose(ts, [100, 200])
+
+
+def test_colmap_poses(tmp_path, rng):
+    # build a COLMAP images.txt from known camera-to-world poses
+    quats = random_quats(rng, 5)
+    trans = rng.uniform(-100, 100, size=(5, 3))
+    path = str(tmp_path / "images.txt")
+    with open(path, "w") as f:
+        f.write("# Image list with two lines of data per image\n")
+        for i, (q, t) in enumerate(zip(quats, trans)):
+            R_wc = _rot_matrix_np(q)
+            R_cw = R_wc.T
+            t_cw = -R_cw @ t
+            # world->cam quaternion = conjugate-equivalent of q
+            qc = np.array([q[0], -q[1], -q[2], -q[3]])
+            f.write(
+                f"{i + 1} {qc[0]} {qc[1]} {qc[2]} {qc[3]} "
+                f"{t_cw[0]} {t_cw[1]} {t_cw[2]} 1 img_{i:03d}.jpg\n"
+            )
+            f.write("1.0 2.0 -1\n")  # observations line
+    q2, t2, names = load_poses(path, PoseFormat.COLMAP)
+    assert names == [f"img_{i:03d}.jpg" for i in range(5)]
+    np.testing.assert_allclose(t2, trans, atol=1e-9)
+    np.testing.assert_allclose(np.abs(np.sum(q2 * quats, axis=1)), 1.0,
+                               atol=1e-9)
+
+
+def test_pix4d_poses_nadir(tmp_path):
+    # omega=phi=kappa=0 => photogrammetric camera looks straight down with
+    # x east; in CV convention that is diag(1, -1, -1)
+    path = str(tmp_path / "params.txt")
+    with open(path, "w") as f:
+        f.write("img_0.jpg 500.0 600.0 700.0 0.0 0.0 0.0\n")
+    q, t, names = load_poses(path, PoseFormat.PIX4D)
+    R = _rot_matrix_np(q[0])
+    np.testing.assert_allclose(R, np.diag([1.0, -1.0, -1.0]), atol=1e-12)
+    np.testing.assert_allclose(t[0], [500, 600, 700])
+
+
+def test_subtract_origin():
+    t = np.array([[464980.0, 5272260.0, 414.0]])
+    out = subtract_origin(t, (464980.0, 5272260.0, 0.0))
+    np.testing.assert_allclose(out, [[0.0, 0.0, 414.0]])
+
+
+@pytest.mark.parametrize(
+    "array",
+    [
+        (np.arange(48 * 32, dtype=np.uint8).reshape(32, 48) % 251),
+        np.linspace(400, 430, 32 * 48).reshape(32, 48).astype(np.float32),
+        (np.arange(32 * 48 * 3, dtype=np.uint8).reshape(32, 48, 3) % 251),
+    ],
+    ids=["gray8", "dem_f32", "rgb8"],
+)
+def test_geotiff_roundtrip(tmp_path, array):
+    path = str(tmp_path / "map.tif")
+    write_geotiff(path, array, west=464500.0, north=5272700.0,
+                  resolution=0.5, utm_zone=32)
+    arr, (west, north, res), epsg = read_geotiff(path)
+    np.testing.assert_array_equal(arr, array)
+    assert (west, north, res) == (464500.0, 5272700.0, 0.5)
+    assert epsg == 32632
+
+
+def test_geotiff_pil_crosscheck(tmp_path):
+    from PIL import Image
+
+    array = (np.arange(20 * 30, dtype=np.uint8).reshape(20, 30) % 255)
+    path = str(tmp_path / "x.tif")
+    write_geotiff(path, array, west=1.0, north=2.0, resolution=1.0)
+    with Image.open(path) as img:
+        np.testing.assert_array_equal(np.asarray(img), array)
+        # GeoTIFF tags present
+        assert 33550 in img.tag_v2
+        assert 34735 in img.tag_v2
+
+
+def test_geotiff_southern_hemisphere(tmp_path):
+    path = str(tmp_path / "s.tif")
+    write_geotiff(path, np.zeros((4, 4), np.uint8), 0, 0, 1.0,
+                  utm_zone=17, northern_hemisphere=False)
+    _, _, epsg = read_geotiff(path)
+    assert epsg == 32717
+
+
+def test_point_cloud_txt_roundtrip(tmp_path, rng):
+    pts = rng.uniform(-100, 100, size=(50, 3))
+    pts[:5, 2] = -500.0  # filtered (z > -100 rule, aerial-mapper-io.cc:319)
+    intens = rng.integers(0, 255, 50)
+    path = str(tmp_path / "cloud.txt")
+    save_point_cloud_txt(path, pts, intens)
+    p2, i2 = load_point_cloud_txt(path)
+    assert p2.shape[0] == 45
+    np.testing.assert_allclose(p2, pts[5:], atol=1e-5)
+    np.testing.assert_allclose(i2, intens[5:])
+
+
+def test_artifacts_roundtrip(tmp_path, rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, 100).astype(np.float32)
+    valid = rng.random(100) > 0.3
+    p = str(tmp_path / "pts.npz")
+    save_points(p, pts, inten, valid)
+    p2, i2, v2 = load_points(p)
+    np.testing.assert_array_equal(p2, pts)
+    np.testing.assert_array_equal(v2, valid)
+
+    geom = MapGeometry(1.0, 2.0, 0.5, 10, 20)
+    layers = {"elevation": rng.normal(size=(10, 20)).astype(np.float32),
+              "ortho": np.full((10, 20), 255.0, np.float32)}
+    L = str(tmp_path / "layers.npz")
+    save_layers(L, layers, geom)
+    l2, g2 = load_layers(L)
+    assert g2 == geom
+    np.testing.assert_array_equal(l2["elevation"], layers["elevation"])
+
+
+def test_images_by_prefix(tmp_path, rng):
+    for i in range(3):
+        save_image(str(tmp_path / f"image_{i}.jpg"),
+                   rng.uniform(0, 255, (8, 10)))
+    imgs = load_images_by_prefix(str(tmp_path / "image_"), 3)
+    assert len(imgs) == 3 and imgs[0].shape == (8, 10)
+
+
+def test_camera_rig_yaml_roundtrip(tmp_path):
+    cam = Camera(fx=500.0, fy=480.0, cx=320.0, cy=240.0, width=640,
+                 height=480, dist_kind="radial-tangential",
+                 dist_params=(-0.28, 0.07, 1e-4, 2e-5))
+    T_C_B_q = np.array([[1.0, 0.0, 0.0, 0.0]])
+    T_C_B_t = np.array([[0.1, -0.2, 0.05]])
+    rig = CameraRig(cameras=(cam,), T_C_B_quats=T_C_B_q, T_C_B_trans=T_C_B_t)
+    path = str(tmp_path / "rig.yaml")
+    save_camera_rig(rig, path)
+    rig2 = load_camera_rig(path)
+    assert rig2.camera.fx == cam.fx
+    assert rig2.camera.dist_kind == cam.dist_kind
+    np.testing.assert_allclose(rig2.camera.dist_params, cam.dist_params)
+    np.testing.assert_allclose(rig2.T_C_B_trans, T_C_B_t, atol=1e-9)
+    np.testing.assert_allclose(np.abs(np.sum(rig2.T_C_B_quats * T_C_B_q,
+                                             axis=1)), 1.0, atol=1e-9)
