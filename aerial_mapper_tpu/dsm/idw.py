@@ -81,19 +81,27 @@ def bin_points(
     valid: jax.Array,
     geom: MapGeometry,
     capacity: int,
+    north=None,
+    west=None,
 ) -> BinnedPoints:
     """Scatter points (x=easting, y=northing) into per-cell slots.
 
-    Out-of-map points and slots beyond ``capacity`` are dropped (the capacity
-    policy keeps the first K points in sorted order — deterministic across
-    runs and shardings). Stores cell-relative offsets so everything after
-    binning is small-magnitude float32.
+    Out-of-grid points and slots beyond ``capacity`` are dropped (the
+    capacity policy keeps the first K points in sorted order — deterministic
+    across runs and shardings). Stores cell-relative offsets so everything
+    after binning is small-magnitude float32.
+
+    ``north``/``west`` may be traced overrides of the grid's top/left edge —
+    used by halo-extended and tile-sharded callers whose grid origin differs
+    from ``geom``'s.
     """
     h, w, k = geom.height, geom.width, capacity
     n = points_xy.shape[0]
+    north_edge = geom.north if north is None else north
+    west_edge = geom.west if west is None else west
 
-    col = jnp.floor((points_xy[:, 0] - geom.west) / geom.resolution)
-    row = jnp.floor((geom.north - points_xy[:, 1]) / geom.resolution)
+    col = jnp.floor((points_xy[:, 0] - west_edge) / geom.resolution)
+    row = jnp.floor((north_edge - points_xy[:, 1]) / geom.resolution)
     in_map = (
         valid
         & (col >= 0)
@@ -112,8 +120,8 @@ def bin_points(
     rank = _segment_rank(sorted_ids)
 
     # Cell-relative offsets (meters from owning cell center).
-    ce = geom.west + (coli.astype(points_xy.dtype) + 0.5) * geom.resolution
-    cn = geom.north - (rowi.astype(points_xy.dtype) + 0.5) * geom.resolution
+    ce = west_edge + (coli.astype(points_xy.dtype) + 0.5) * geom.resolution
+    cn = north_edge - (rowi.astype(points_xy.dtype) + 0.5) * geom.resolution
     de_all = (points_xy[:, 0] - ce)[order]
     dn_all = (points_xy[:, 1] - cn)[order]
     payload_sorted = payload[order]
@@ -258,6 +266,43 @@ def binned_idw(
     return values, hit
 
 
+def idw_to_grid(
+    points_xy: jax.Array,
+    payload: jax.Array,
+    valid: jax.Array,
+    geom: MapGeometry,
+    capacity: int,
+    radius_sq: float,
+    adaptive: bool,
+    growth: float,
+    max_radius_sq: float,
+):
+    """Bin + IDW onto ``geom``'s grid, halo-extended so points just outside
+    the map still contribute to edge cells.
+
+    The reference builds its kd-tree from ALL points regardless of map
+    bounds (dsm.cc:36-52), so a point beyond the map edge is a valid
+    neighbor of an edge cell; the halo ring reproduces that.
+    """
+    halo = _window_halfwidth(max_radius_sq if adaptive else radius_sq,
+                             geom.resolution)
+    ext_geom = MapGeometry(
+        geom.center_easting, geom.center_northing, geom.resolution,
+        geom.height + 2 * halo, geom.width + 2 * halo,
+    )
+    binned = bin_points(
+        points_xy, payload, valid, ext_geom, capacity,
+        north=geom.north + halo * geom.resolution,
+        west=geom.west - halo * geom.resolution,
+    )
+    values, hit = binned_idw(
+        binned, ext_geom, radius_sq=radius_sq, adaptive=adaptive,
+        growth=growth, max_radius_sq=max_radius_sq,
+    )
+    crop = (slice(halo, halo + geom.height), slice(halo, halo + geom.width))
+    return values[crop], hit[crop]
+
+
 def update_elevation_layer(
     map_layers: dict,
     points_xyz: jax.Array,
@@ -272,16 +317,8 @@ def update_elevation_layer(
     center_easting/northing offsets (dsm.cc:42-43) are handled by the map
     geometry itself.
     """
-    binned = bin_points(
-        points_xyz[:, :2],
-        points_xyz[:, 2],
-        valid,
-        geom,
-        cfg.bin_capacity,
-    )
-    values, hit = binned_idw(
-        binned,
-        geom,
+    values, hit = idw_to_grid(
+        points_xyz[:, :2], points_xyz[:, 2], valid, geom, cfg.bin_capacity,
         radius_sq=cfg.interpolation_radius_sq,
         adaptive=cfg.adaptive_interpolation,
         growth=cfg.adaptive_growth_factor,
@@ -306,16 +343,9 @@ def ortho_from_points(
     Mirrors ``ortho::OrthoFromPcl::process`` (ortho-from-pcl.cc:20-107) —
     same kd-tree/IDW machinery as the DSM but with intensity payload.
     """
-    binned = bin_points(
-        points_xyz[:, :2],
-        intensities.astype(jnp.float32),
-        valid,
-        geom,
+    values, hit = idw_to_grid(
+        points_xyz[:, :2], intensities.astype(jnp.float32), valid, geom,
         cfg.bin_capacity,
-    )
-    values, hit = binned_idw(
-        binned,
-        geom,
         radius_sq=cfg.interpolation_radius_sq,
         adaptive=cfg.use_adaptive_interpolation,
         growth=cfg.adaptive_growth_factor,

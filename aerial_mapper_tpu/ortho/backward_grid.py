@@ -37,7 +37,7 @@ from aerial_mapper_tpu.camera.models import Camera, project
 from aerial_mapper_tpu.config import OrthoBackwardGridConfig
 from aerial_mapper_tpu.geo.se3 import quat_rotate
 from aerial_mapper_tpu.image.color import pack_rgb_to_float
-from aerial_mapper_tpu.mapgrid.grid import MapGeometry, cell_centers
+from aerial_mapper_tpu.mapgrid.grid import MapGeometry
 
 
 def _project_cells_all_cameras(cells, quats, ts, cam: Camera):
@@ -64,6 +64,7 @@ def backward_grid_update(
     geom: MapGeometry,
     cam: Camera,
     cfg: OrthoBackwardGridConfig,
+    row_offset=0,
 ) -> dict:
     """One batch/incremental backward-grid pass over all map cells.
 
@@ -74,7 +75,7 @@ def backward_grid_update(
     calling it again with another image batch implements the incremental mode
     (main-ortho-backward-grid-incremental.cc:143-166).
     """
-    h, w = geom.height, geom.width
+    h, w = layers["elevation_angle"].shape
     colored = cfg.colored_ortho
     num_cells = h * w
     chunk = min(cfg.cell_chunk, num_cells)
@@ -82,7 +83,13 @@ def backward_grid_update(
     num_chunks = -(-num_cells // chunk)
     pad = num_chunks * chunk - num_cells
 
-    ce, cn = cell_centers(geom)
+    # cell centers for this (possibly row-band-sharded) slab: the layer
+    # arrays may be a row band starting at global row ``row_offset``
+    # (aerial_mapper_tpu.parallel tile sharding)
+    i = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
+    j = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ce = geom.west + (j + 0.5) * geom.resolution
+    cn = geom.north - (i + 0.5) * geom.resolution
     if cfg.use_digital_elevation_map:
         elev = layers["elevation"]
     else:

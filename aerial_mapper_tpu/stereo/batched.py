@@ -1,0 +1,166 @@
+"""Batched virtual-stereo: process many pairs per dispatch.
+
+The reference walks the sequence strictly serially — one OpenCV matcher call
+per pair (stereo.cpp:91-110). On TPU the whole pair batch is one program:
+rectification remaps, cost volumes, and triangulation are vmapped over a
+[B] pair axis and chunked with ``lax.map`` so the [D, H, W] cost volumes
+stay bounded. The pair axis is the data-parallel shard axis on a device
+mesh (SURVEY.md §2.3: "shard stereo pairs across devices").
+
+Host side prepares per-pair rectification operands in float64 once
+(`prepare_pair_operands`); everything after is device code.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aerial_mapper_tpu.camera.models import Camera
+from aerial_mapper_tpu.config import BlockMatchingConfig, SgmConfig
+from aerial_mapper_tpu.image.sample import point_in_quad, remap
+from aerial_mapper_tpu.stereo.matching import (
+    block_matching_disparity,
+    sgm_disparity,
+)
+from aerial_mapper_tpu.stereo.rectify import rectification_transforms
+from aerial_mapper_tpu.stereo.triangulate import triangulate_disparity
+
+
+class PairOperands(NamedTuple):
+    """Per-pair device operands, batch-stackable ([B, ...] each)."""
+
+    image1: jax.Array  # [B, H, W]
+    image2: jax.Array
+    T1_inv: jax.Array  # [B, 3, 3]
+    T2_inv: jax.Array
+    corners_rect: jax.Array  # [B, 4, 2]
+    R_G_C_rect: jax.Array  # [B, 3, 3]
+    t_G_C1: jax.Array  # [B, 3]
+    baseline: jax.Array  # [B]
+
+
+def prepare_pair_operands(
+    K: np.ndarray,
+    Rs: np.ndarray,  # [N, 3, 3] camera-to-world
+    ts: np.ndarray,  # [N, 3]
+    images,  # [N, H, W] array or list
+    use_every_nth: int = 1,
+) -> PairOperands:
+    """Host-side: consecutive (subsampled) frames -> stacked pair operands."""
+    idx = list(range(0, len(images), use_every_nth)) if use_every_nth > 1 \
+        else list(range(len(images)))
+    if len(idx) < 2:
+        raise ValueError("Need at least two frames for a stereo pair")
+    h, w = np.asarray(images[0]).shape
+
+    t1s, t2s, T1i, T2i, corners, rrect, bases = [], [], [], [], [], [], []
+    i1s, i2s = [], []
+    corner_px = np.array(
+        [[0.0, 0.0, 1.0], [w - 1.0, 0.0, 1.0], [w - 1.0, h - 1.0, 1.0],
+         [0.0, h - 1.0, 1.0]]
+    ).T
+    for a, b in zip(idx[:-1], idx[1:]):
+        tf = rectification_transforms(K, Rs[a], Rs[b], ts[a], ts[b])
+        warped = tf.T1 @ corner_px
+        corners.append((warped[:2] / warped[2:3]).T)
+        T1i.append(np.linalg.inv(tf.T1))
+        T2i.append(np.linalg.inv(tf.T2))
+        rrect.append(tf.R_G_C_rect)
+        bases.append(tf.baseline)
+        t1s.append(ts[a])
+        t2s.append(ts[b])
+        i1s.append(a)
+        i2s.append(b)
+
+    stack_img = lambda ii: jnp.stack(  # noqa: E731
+        [jnp.asarray(np.asarray(images[i]), jnp.float32) for i in ii]
+    )
+    return PairOperands(
+        image1=stack_img(i1s),
+        image2=stack_img(i2s),
+        T1_inv=jnp.asarray(np.stack(T1i), jnp.float32),
+        T2_inv=jnp.asarray(np.stack(T2i), jnp.float32),
+        corners_rect=jnp.asarray(np.stack(corners), jnp.float32),
+        R_G_C_rect=jnp.asarray(np.stack(rrect), jnp.float32),
+        t_G_C1=jnp.asarray(np.stack(t1s), jnp.float32),
+        baseline=jnp.asarray(np.asarray(bases), jnp.float32),
+    )
+
+
+def _rectify_one(image, T_inv):
+    h, w = image.shape
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    x = T_inv[0, 0] * u + T_inv[0, 1] * v + T_inv[0, 2]
+    y = T_inv[1, 0] * u + T_inv[1, 1] * v + T_inv[1, 2]
+    zw = T_inv[2, 0] * u + T_inv[2, 1] * v + T_inv[2, 2]
+    zw = jnp.where(jnp.abs(zw) < 1e-12, 1e-12, zw)
+    return remap(image, x / zw, y / zw, fill_value=0.0)
+
+
+def _process_one_pair(op, cam: Camera, matcher: str, bm_cfg, sgm_cfg):
+    (img1, img2, T1i, T2i, corners, R_rect, t1, baseline) = op
+    h, w = img1.shape
+    rect1 = _rectify_one(img1, T1i)
+    rect2 = _rectify_one(img2, T2i)
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    mask = point_in_quad(u, v, corners)
+    if matcher == "bm":
+        disp = block_matching_disparity(rect1, rect2, mask, bm_cfg)
+    else:
+        disp = sgm_disparity(rect1, rect2, mask, sgm_cfg)
+    return triangulate_disparity(
+        disp, rect1, R_rect, t1, baseline,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "matcher", "bm_cfg", "sgm_cfg", "batch_chunk"),
+)
+def process_pairs_batched(
+    ops: PairOperands,
+    cam: Camera,
+    matcher: str = "bm",
+    bm_cfg: BlockMatchingConfig = BlockMatchingConfig(),
+    sgm_cfg: SgmConfig = SgmConfig(),
+    batch_chunk: int = 1,
+):
+    """All pairs -> (points [B, H*W, 3], intensities [B, H*W], valid [B, H*W]).
+
+    ``batch_chunk`` pairs are vmapped per ``lax.map`` step: memory scales
+    with chunk * cost-volume size, wall-clock amortizes dispatch overhead.
+    """
+    b = ops.image1.shape[0]
+    chunk = min(batch_chunk, b)
+    num_chunks = -(-b // chunk)
+    pad = num_chunks * chunk - b
+
+    def pad0(x):
+        cfgs = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfgs)
+
+    padded = PairOperands(*(pad0(x) for x in ops))
+    reshaped = PairOperands(
+        *(x.reshape((num_chunks, chunk) + x.shape[1:]) for x in padded)
+    )
+
+    fn = partial(_process_one_pair, cam=cam, matcher=matcher,
+                 bm_cfg=bm_cfg, sgm_cfg=sgm_cfg)
+
+    def map_body(chunk_ops):
+        return jax.vmap(lambda *xs: fn(xs))(*chunk_ops)
+
+    points, intens, valid = jax.lax.map(map_body, reshaped)
+    hw = points.shape[-2]
+    points = points.reshape(num_chunks * chunk, hw, 3)[:b]
+    intens = intens.reshape(num_chunks * chunk, hw)[:b]
+    valid = valid.reshape(num_chunks * chunk, hw)[:b]
+    return points, intens, valid

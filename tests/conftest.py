@@ -8,7 +8,9 @@ vars before jax initializes a backend.
 import os
 
 # Force CPU: the session env may export JAX_PLATFORMS=axon (single real TPU
-# behind a tunnel); tests must run on the virtual 8-device CPU mesh.
+# behind a tunnel), and the axon sitecustomize force-sets
+# jax_platforms="axon,cpu" in every interpreter — so the env var alone is
+# not enough; we must update the jax config after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -22,31 +22,24 @@ def make_points(rng, n=300):
 
 def run_both(points, radius_sq, adaptive, growth=1.1, max_radius_sq=7.0,
              capacity=32):
-    binned = bin_points(
+    from aerial_mapper_tpu.dsm.idw import idw_to_grid
+
+    vals, hit = idw_to_grid(
         jnp.asarray(points[:, :2], jnp.float32),
         jnp.asarray(points[:, 2], jnp.float32),
         jnp.ones(points.shape[0], bool),
-        GEOM,
-        capacity,
-    )
-    vals, hit = binned_idw(
-        binned, GEOM, radius_sq=radius_sq, adaptive=adaptive,
+        GEOM, capacity,
+        radius_sq=radius_sq, adaptive=adaptive,
         growth=growth, max_radius_sq=max_radius_sq,
     )
     ce, cn = cell_centers(GEOM)
     centers = np.stack(
         [np.asarray(ce).ravel(), np.asarray(cn).ravel()], axis=1
     )
-    # the reference only ever sees in-map points (kd-tree built from the cloud,
-    # which the demos load pre-cropped); replicate by cropping identically
-    inside = (
-        (points[:, 0] >= GEOM.west)
-        & (points[:, 0] < GEOM.west + GEOM.width * GEOM.resolution)
-        & (points[:, 1] <= GEOM.north)
-        & (points[:, 1] > GEOM.north - GEOM.height * GEOM.resolution)
-    )
+    # the reference kd-tree holds ALL points, including those outside the
+    # map (dsm.cc:36-52) — the halo-extended binning must match that
     ref_vals, ref_hit = idw_reference(
-        points[inside, :2], points[inside, 2], centers,
+        points[:, :2], points[:, 2], centers,
         radius_sq=radius_sq, adaptive=adaptive, growth=growth,
         max_radius_sq=max_radius_sq,
     )

@@ -1,0 +1,163 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded ops must be
+numerically identical to their single-device counterparts; halo exchange
+must reproduce neighbor rows."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.config import DsmConfig, OrthoBackwardGridConfig
+from aerial_mapper_tpu.dsm import update_elevation_layer
+from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+from aerial_mapper_tpu.mapgrid import MapGeometry, cell_centers, create_map_state
+from aerial_mapper_tpu.ortho import backward_grid_update
+from aerial_mapper_tpu.parallel import (
+    halo_exchange_rows,
+    make_mesh,
+    sharded_backward_grid_update,
+    sharded_dsm_update,
+)
+from aerial_mapper_tpu.synth import SyntheticScene, make_survey_poses, render_image
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+GEOM = MapGeometry(center_easting=40.0, center_northing=0.0, resolution=1.0,
+                   height=64, width=48)
+CAM = Camera(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
+
+
+def test_halo_exchange_rows():
+    mesh = make_mesh(("tiles",))
+    x = jnp.arange(64 * 4, dtype=jnp.float32).reshape(64, 4)
+
+    def body(local):
+        return halo_exchange_rows(local, 2, "tiles")
+
+    out = shard_map(body, mesh=mesh, in_specs=P("tiles", None),
+                    out_specs=P("tiles", None))(x)
+    out = np.asarray(out)  # [8 * (2 + 8 + 2), 4]
+    band = 64 // 8
+    for d in range(8):
+        ext = out[d * (band + 4):(d + 1) * (band + 4)]
+        # middle = own band
+        np.testing.assert_array_equal(
+            ext[2:2 + band], np.asarray(x[d * band:(d + 1) * band])
+        )
+        # upper halo = previous device's last rows (zeros at the edge)
+        if d > 0:
+            np.testing.assert_array_equal(
+                ext[:2], np.asarray(x[d * band - 2: d * band])
+            )
+        else:
+            np.testing.assert_array_equal(ext[:2], 0.0)
+        if d < 7:
+            np.testing.assert_array_equal(
+                ext[2 + band:], np.asarray(x[(d + 1) * band:(d + 1) * band + 2])
+            )
+        else:
+            np.testing.assert_array_equal(ext[2 + band:], 0.0)
+
+
+def test_sharded_dsm_matches_single_device(rng):
+    mesh = make_mesh(("tiles",))
+    n = 4000
+    pts = np.stack(
+        [
+            rng.uniform(GEOM.west - 3, GEOM.west + 51, n),
+            rng.uniform(GEOM.north - 67, GEOM.north + 3, n),
+            rng.uniform(400, 430, n),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    valid = rng.random(n) > 0.1
+    cfg = DsmConfig(interpolation_radius_sq=1.5, adaptive_interpolation=True,
+                    bin_capacity=16)
+
+    single = update_elevation_layer(
+        dict(create_map_state(GEOM).layers), jnp.asarray(pts),
+        jnp.asarray(valid), GEOM, cfg,
+    )["elevation"]
+
+    sharded = sharded_dsm_update(
+        create_map_state(GEOM).layers["elevation"],
+        jnp.asarray(pts), jnp.asarray(valid), GEOM, cfg, mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), atol=1e-4, equal_nan=True
+    )
+
+
+def test_sharded_backward_grid_matches_single_device():
+    mesh = make_mesh(("tiles",))
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=4.0)
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=15.0)
+    images = jnp.stack(
+        [
+            render_image(scene, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ce, cn = cell_centers(GEOM)
+    layers = dict(create_map_state(GEOM).layers)
+    layers["elevation"] = scene.height(ce, cn)
+    cfg = OrthoBackwardGridConfig(cell_chunk=256)
+
+    single = backward_grid_update(
+        layers, quats, jnp.asarray(ts, jnp.float32), images, GEOM, CAM, cfg
+    )
+    sharded = sharded_backward_grid_update(
+        layers, quats, jnp.asarray(ts, jnp.float32), images, GEOM, CAM, cfg,
+        mesh,
+    )
+    for key in ("ortho", "elevation_angle", "observation_index",
+                "num_observations"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[key]), np.asarray(single[key]), atol=1e-4,
+            equal_nan=True, err_msg=key,
+        )
+
+
+def test_sharded_map_step_runs_and_is_consistent():
+    """Fused pairs+tiles step on a (2, 4) mesh: stereo -> DSM -> ortho."""
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.parallel.sharded import sharded_map_step
+    from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
+
+    mesh = make_mesh(("pairs", "tiles"), shape=(2, 4))
+    cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(9, altitude=514.0, spacing=5.0)
+    images = jnp.stack(
+        [
+            render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    ops = prepare_pair_operands(cam.K, Rs, ts, list(images))
+    assert ops.image1.shape[0] == 8  # divisible by the 8 devices
+
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    layers = dict(create_map_state(GEOM).layers)
+    out = sharded_map_step(
+        layers, ops, quats, jnp.asarray(ts, jnp.float32), images,
+        GEOM, cam,
+        DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8),
+        OrthoBackwardGridConfig(cell_chunk=256),
+        mesh,
+        bm_cfg=BlockMatchingConfig(num_disparities=32),
+    )
+    elev = np.asarray(out["elevation"])
+    ortho = np.asarray(out["ortho"])
+    assert np.isfinite(elev).mean() > 0.3
+    covered = np.isfinite(elev)
+    assert abs(np.nanmean(elev) - 414.0) < 5.0
+    assert (ortho[covered] != 255.0).mean() > 0.5
