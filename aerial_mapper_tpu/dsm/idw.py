@@ -70,7 +70,10 @@ def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
         [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
     )
     start_idx = jnp.where(is_start, idx, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, start_idx)
+    # lax.cummax is a dedicated primitive; the generic associative_scan
+    # lowers to a slice/concat recursion whose XLA compile time grows
+    # linearly with n (55 s at 1M elements on TPU)
+    seg_start = jax.lax.cummax(start_idx, axis=0)
     return idx - seg_start
 
 
