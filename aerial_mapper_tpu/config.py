@@ -145,13 +145,23 @@ class OrthoFromPclConfig:
 
 @dataclasses.dataclass(frozen=True)
 class BundleAdjustmentConfig:
-    """Windowed bundle adjustment (north-star extension; not in reference)."""
+    """Windowed bundle adjustment (north-star extension; not in reference).
+
+    ``position_prior_sigma_m``: soft prior tying camera positions to their
+    initial (georeferenced PIX4D/COLMAP) values. Besides reflecting the
+    GNSS-anchored use case, it pins the similarity-scale gauge that fixing
+    a single camera leaves free. <= 0 disables.
+    """
 
     max_iterations: int = 10
     damping_init: float = 1e-4
     damping_factor: float = 10.0
     huber_delta: float = 2.0
     fix_first_pose: bool = True
+    position_prior_sigma_m: float = 3.0
+    # Redescending gate: observations with residual norm above this get
+    # zero IRLS weight and a capped cost (gross outliers exert no force).
+    outlier_threshold_px: float = 20.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,6 +27,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test draws from a fresh deterministic stream,
+    # so results don't depend on test execution order
     return np.random.default_rng(42)

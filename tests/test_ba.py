@@ -1,0 +1,203 @@
+"""Bundle adjustment tests: pose recovery on synthetic problems."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.ba import (
+    BAProblem,
+    BAState,
+    bundle_adjust,
+    reprojection_residuals,
+)
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.config import BundleAdjustmentConfig
+from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+from aerial_mapper_tpu.synth import make_survey_poses
+
+CAM = Camera(fx=400.0, fy=400.0, cx=200.0, cy=150.0, width=400, height=300)
+
+
+def build_problem(rng, n_cams=6, n_lms=120, pos_noise=0.5, rot_noise=0.01,
+                  pix_noise=0.0, outlier_frac=0.0):
+    Rs, ts = make_survey_poses(n_cams, altitude=514.0, spacing=8.0)
+    quats_true = np.asarray(matrix_to_quat(jnp.asarray(Rs)))
+    lms = np.stack(
+        [
+            rng.uniform(-10, 10 + 8 * n_cams, n_lms),
+            rng.uniform(-25, 25, n_lms),
+            414.0 + rng.uniform(-5, 5, n_lms),
+        ],
+        axis=1,
+    )
+
+    cam_idx, lm_idx, uvs = [], [], []
+    for ci in range(n_cams):
+        pc = (lms - ts[ci]) @ Rs[ci]  # world->cam: R^T (x - t), rows via @R
+        z = pc[:, 2]
+        u = CAM.fx * pc[:, 0] / z + CAM.cx
+        v = CAM.fy * pc[:, 1] / z + CAM.cy
+        vis = (z > 1) & (u >= 0) & (u < CAM.width) & (v >= 0) & (v < CAM.height)
+        for li in np.nonzero(vis)[0]:
+            cam_idx.append(ci)
+            lm_idx.append(li)
+            uvs.append([u[li], v[li]])
+    cam_idx = np.asarray(cam_idx, np.int32)
+    lm_idx = np.asarray(lm_idx, np.int32)
+    uvs = np.asarray(uvs, np.float32)
+    if pix_noise > 0:
+        uvs += rng.normal(scale=pix_noise, size=uvs.shape)
+    if outlier_frac > 0:
+        m = uvs.shape[0]
+        n_out = int(outlier_frac * m)
+        pick = rng.choice(m, n_out, replace=False)
+        uvs[pick] += rng.uniform(30, 80, size=(n_out, 2))
+
+    problem = BAProblem(
+        cam_idx=jnp.asarray(cam_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uvs),
+        valid=jnp.ones(cam_idx.shape[0], bool),
+    )
+
+    # perturb every pose except the first (the gauge anchor)
+    quats_noisy = quats_true.copy()
+    ts_noisy = ts.copy()
+    for ci in range(1, n_cams):
+        ts_noisy[ci] += rng.normal(scale=pos_noise, size=3)
+        dq = np.concatenate(
+            [[1.0], rng.normal(scale=rot_noise, size=3)]
+        )
+        dq /= np.linalg.norm(dq)
+        w1, x1, y1, z1 = quats_noisy[ci]
+        w2, x2, y2, z2 = dq
+        quats_noisy[ci] = [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ]
+
+    state0 = BAState(
+        quats=jnp.asarray(quats_noisy, jnp.float32),
+        trans=jnp.asarray(ts_noisy, jnp.float32),
+        landmarks=jnp.asarray(lms, jnp.float32),
+    )
+    return state0, problem, quats_true, ts
+
+
+def ate(trans_est, trans_true):
+    return float(np.sqrt(np.mean(np.sum(
+        (np.asarray(trans_est) - trans_true) ** 2, axis=1))))
+
+
+def ate_aligned(trans_est, trans_true):
+    """ATE after Sim(3) (Umeyama) alignment — the standard trajectory metric;
+    removes the gauge freedoms reprojection error cannot observe."""
+    x = np.asarray(trans_est, np.float64)
+    y = np.asarray(trans_true, np.float64)
+    mx, my = x.mean(0), y.mean(0)
+    xc, yc = x - mx, y - my
+    cov = yc.T @ xc / x.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    var_x = (xc**2).sum() / x.shape[0]
+    s = np.trace(np.diag(D) @ S) / var_x
+    t = my - s * R @ mx
+    aligned = (s * (R @ x.T)).T + t
+    return float(np.sqrt(np.mean(np.sum((aligned - y) ** 2, axis=1))))
+
+
+def test_residuals_zero_at_ground_truth(rng):
+    state0, problem, quats_true, ts_true = build_problem(rng, pos_noise=0.0,
+                                                         rot_noise=0.0)
+    res = reprojection_residuals(state0, problem, CAM)
+    assert float(jnp.abs(res).max()) < 0.05  # float32 projection noise
+
+
+def test_ba_recovers_perturbed_poses(rng):
+    state0, problem, quats_true, ts_true = build_problem(rng)
+    ate0 = ate(state0.trans, ts_true)
+    assert ate0 > 0.3  # perturbation is real
+
+    out = bundle_adjust(
+        state0, problem, CAM,
+        BundleAdjustmentConfig(max_iterations=12),
+    )
+    # gauge-invariant recovery: aligned ATE near zero, residuals at the
+    # float32 noise floor; unaligned ATE improves but retains whatever
+    # drift the unobservable similarity gauge allows
+    ate1 = ate_aligned(out.trans, ts_true)
+    assert ate1 < ate_aligned(state0.trans, ts_true) / 10, \
+        f"aligned ATE -> {ate1:.3f}"
+    assert ate1 < 0.05
+    assert ate(out.trans, ts_true) < ate0 / 2
+    res = reprojection_residuals(out, problem, CAM)
+    assert float(jnp.sqrt(jnp.mean(res**2))) < 0.1
+
+
+def test_ba_robust_to_outliers(rng):
+    state0, problem, quats_true, ts_true = build_problem(
+        rng, pix_noise=0.3, outlier_frac=0.1
+    )
+    ate0 = ate_aligned(state0.trans, ts_true)
+    out = bundle_adjust(
+        state0, problem, CAM,
+        BundleAdjustmentConfig(max_iterations=15, huber_delta=2.0),
+    )
+    ate1 = ate_aligned(out.trans, ts_true)
+    assert ate1 < ate0 / 3, f"aligned ATE {ate0:.3f} -> {ate1:.3f}"
+    # unaligned ATE must still improve (no divergence along the gauge)
+    assert ate(out.trans, ts_true) < ate(state0.trans, ts_true)
+    # the 10% gross outliers end up gated
+    res = reprojection_residuals(out, problem, CAM)
+    norm = np.linalg.norm(np.asarray(res), axis=1)
+    assert 0.05 < (norm >= 20.0).mean() < 0.15
+    assert float(np.sqrt(np.mean(norm[norm < 20.0] ** 2))) < 1.0
+
+
+def test_ba_fixes_gauge(rng):
+    state0, problem, *_ = build_problem(rng)
+    out = bundle_adjust(state0, problem, CAM,
+                        BundleAdjustmentConfig(max_iterations=5))
+    np.testing.assert_allclose(
+        np.asarray(out.trans[0]), np.asarray(state0.trans[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.quats[0]), np.asarray(state0.quats[0]), atol=1e-6
+    )
+
+
+def test_sharded_ba_matches_single_device(rng):
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from aerial_mapper_tpu.ba import sharded_bundle_adjust
+    from aerial_mapper_tpu.parallel import make_mesh
+
+    state0, problem, quats_true, ts_true = build_problem(rng)
+    # pad observations to a multiple of 8 with valid=False rows
+    m = problem.cam_idx.shape[0]
+    pad = (-m) % 8
+    problem_p = BAProblem(
+        cam_idx=jnp.pad(problem.cam_idx, (0, pad)),
+        lm_idx=jnp.pad(problem.lm_idx, (0, pad)),
+        uv=jnp.pad(problem.uv, ((0, pad), (0, 0))),
+        valid=jnp.pad(problem.valid, (0, pad)),
+    )
+    cfg = BundleAdjustmentConfig(max_iterations=8)
+    single = bundle_adjust(state0, problem_p, CAM, cfg)
+    mesh = make_mesh(("obs",))
+    sharded = sharded_bundle_adjust(state0, problem_p, CAM, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.trans), np.asarray(single.trans), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.quats), np.asarray(single.quats), atol=1e-4
+    )
+    assert ate_aligned(sharded.trans, ts_true) < 0.1
