@@ -108,8 +108,9 @@ class OrthoBackwardGridConfig:
     orthomosaic_elevation_m: float = 0.0
     use_digital_elevation_map: bool = True
     colored_ortho: bool = False
-    # Cells processed per device batch (tiling knob for the cells x images sweep).
-    cell_chunk: int = 16384
+    # Cells per score-pass chunk: bounds the [num_images x chunk] tensors.
+    # Default covers a 512x512 map in one pass; memory ~ N * chunk * 24 B.
+    cell_chunk: int = 262144
 
 
 @dataclasses.dataclass(frozen=True)

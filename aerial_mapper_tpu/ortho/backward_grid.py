@@ -3,21 +3,24 @@
 TPU-native rendition of ``ortho::OrthoBackwardGrid``
 (``aerial_mapper_ortho/src/ortho-backward-grid.cc:42-239``) — the dominant
 cost of the reference system (SURVEY.md §3.3: O(cells x images) nested scalar
-loops). Here each chunk of map cells is projected into *all* cameras at once
-(one batched rotate+project), the observation-angle score
+loops). Two streaming passes:
 
-    alpha = asin(|z_c| / ||p_c||)        (ortho-backward-grid.cc:83-87)
+1. **score pass**: every map cell is projected into every camera at once
+   (one batched rotate+project einsum) producing the observation-angle score
+   ``alpha = asin(|z_c| / ||p_c||)`` (ortho-backward-grid.cc:83-87) masked by
+   visibility; a masked argmax over the camera axis picks the most-nadir
+   visible observation. ``argmax`` takes the first maximum, matching the
+   reference's sequential strict-``>`` update order
+   (ortho-backward-grid.cc:90) — what makes incremental updates idempotent.
+2. **texel pass**: each cell re-projects into only its best camera
+   (mirroring the reference's second ``project3`` at cc:96-99) and fetches
+   the nearest pixel — O(cells) instead of O(cells x images), so the big
+   [num_images, cells] tensors exist only in pass 1.
 
-is computed for every (cell, camera), and a masked argmax over the camera
-axis picks the most-nadir visible observation. ``argmax`` takes the first
-maximum, matching the reference's sequential strict-``>`` update order
-(ortho-backward-grid.cc:90), which is what makes incremental updates
-idempotent and order-independent.
-
-Cells are processed in ``cfg.cell_chunk``-sized chunks via ``lax.map`` so the
-[num_images x chunk] intermediates stay HBM-resident and bounded regardless
-of map size; the chunk dimension is a natural tile-shard axis for multi-chip
-runs (see aerial_mapper_tpu.parallel).
+Cells are processed whole-map by default; ``cfg.cell_chunk`` bounds the
+[N x chunk] intermediates via an unrolled chunk loop for very large maps
+(kept small and static — a ``lax.map`` formulation compiled 100x slower
+on the axon toolchain).
 
 Deliberate deviations (SURVEY.md "parity quirks"):
 - ``num_observations`` counts actual visible observations; the reference's
@@ -33,26 +36,66 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from aerial_mapper_tpu.camera.models import Camera, project
+from aerial_mapper_tpu.camera.models import Camera, distort
 from aerial_mapper_tpu.config import OrthoBackwardGridConfig
-from aerial_mapper_tpu.geo.se3 import quat_rotate
+from aerial_mapper_tpu.geo.se3 import quat_conjugate, quat_to_matrix
 from aerial_mapper_tpu.image.color import pack_rgb_to_float
 from aerial_mapper_tpu.mapgrid.grid import MapGeometry
 
 
-def _project_cells_all_cameras(cells, quats, ts, cam: Camera):
-    """cells [T, 3], quats [N, 4] (camera-to-world), ts [N, 3] ->
-    (uv [N, T, 2], visible [N, T], alpha [N, T])."""
-    # p_c = R^T (p - t) = rotate by conjugate quaternion
-    conj = quats * jnp.array([1.0, -1.0, -1.0, -1.0], quats.dtype)
-    rel = cells[None, :, :] - ts[:, None, :]  # [N, T, 3]
-    p_c = quat_rotate(conj[:, None, :], rel)  # [N, T, 3]
-    uv, visible = project(cam, p_c)
-    norm = jnp.linalg.norm(p_c, axis=-1)
+def _project_uv(cam: Camera, p_c):
+    """Camera-frame points [..., 3] -> (u, v, in_front) without bounds check."""
+    z = p_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    xy = p_c[..., :2] / safe_z[..., None]
+    xy = distort(cam, xy)
+    u = cam.fx * xy[..., 0] + cam.cx
+    v = cam.fy * xy[..., 1] + cam.cy
+    return u, v, z > 1e-6
+
+
+def _score_pass(cells, R_cw, t_all, cam: Camera):
+    """cells [T, 3] x cameras [N] -> (best [T], best_alpha [T], n_vis [T]).
+
+    One einsum produces the camera-frame points; alpha/visibility/argmax
+    stream over the [N, T] score tensor.
+    """
+    # p_c[n, t] = R_cw[n] @ cells[t] - R_cw[n] @ t[n]
+    proj = jnp.einsum("nij,tj->nti", R_cw, cells)  # [N, T, 3]
+    offs = jnp.einsum("nij,nj->ni", R_cw, t_all)  # [N, 3]
+    p_c = proj - offs[:, None, :]
+    u, v, in_front = _project_uv(cam, p_c)
+    visible = (
+        in_front
+        & (u >= 0.0) & (v >= 0.0)
+        & (u < cam.width) & (v < cam.height)
+        & jnp.isfinite(u) & jnp.isfinite(v)
+    )
+    norm = jnp.sqrt(jnp.sum(p_c * p_c, axis=-1))
     alpha = jnp.arcsin(
         jnp.abs(p_c[..., 2]) / jnp.maximum(norm, 1e-9)
     )
-    return uv, visible, alpha, p_c
+    alpha_m = jnp.where(visible, alpha, -jnp.inf)
+    best = jnp.argmax(alpha_m, axis=0)  # [T] first-max index
+    best_alpha = jnp.max(alpha_m, axis=0)
+    n_vis = jnp.sum(visible, axis=0).astype(jnp.float32)
+    return best, best_alpha, n_vis
+
+
+def _texel_pass(cells, best, R_cw, t_all, images, cam: Camera,
+                colored: bool):
+    """Fetch each cell's texel from its best camera (O(cells))."""
+    Rb = R_cw[best]  # [T, 3, 3]
+    tb = t_all[best]  # [T, 3]
+    p_c = jnp.einsum("tij,tj->ti", Rb, cells - tb)
+    u, v, _ = _project_uv(cam, p_c)
+    img_h, img_w = images.shape[1], images.shape[2]
+    kp_x = jnp.clip(jnp.round(u).astype(jnp.int32), 0, img_w - 1)
+    kp_y = jnp.clip(jnp.round(v).astype(jnp.int32), 0, img_h - 1)
+    texel = images[best, kp_y, kp_x]  # [T] or [T, 3]
+    if colored:
+        return pack_rgb_to_float(texel.astype(jnp.float32) / 255.0)
+    return texel.astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("geom", "cam", "cfg"))
@@ -78,14 +121,9 @@ def backward_grid_update(
     h, w = layers["elevation_angle"].shape
     colored = cfg.colored_ortho
     num_cells = h * w
-    chunk = min(cfg.cell_chunk, num_cells)
-    # pad cells to a multiple of chunk
-    num_chunks = -(-num_cells // chunk)
-    pad = num_chunks * chunk - num_cells
 
     # cell centers for this (possibly row-band-sharded) slab: the layer
     # arrays may be a row band starting at global row ``row_offset``
-    # (aerial_mapper_tpu.parallel tile sharding)
     i = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + row_offset
     j = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ce = geom.west + (j + 0.5) * geom.resolution
@@ -98,57 +136,36 @@ def backward_grid_update(
     cells = jnp.stack([ce.ravel(), cn.ravel(), elev.ravel()], axis=-1)
     prev_angle = layers["elevation_angle"].ravel()
 
-    cells_p = jnp.pad(cells, ((0, pad), (0, 0)))
-    prev_angle_p = jnp.pad(prev_angle, (0, pad))
-    cells_c = cells_p.reshape(num_chunks, chunk, 3)
-    prev_c = prev_angle_p.reshape(num_chunks, chunk)
+    R_cw = quat_to_matrix(quat_conjugate(quats_G_C))  # [N, 3, 3] world->cam
 
-    img_h, img_w = images.shape[1], images.shape[2]
+    chunk = min(cfg.cell_chunk, num_cells)
+    if chunk >= num_cells:
+        best, best_alpha, n_vis = _score_pass(cells, R_cw, t_G_C, cam)
+    else:
+        # unrolled chunk loop (static count) bounds the [N, chunk] tensors
+        num_chunks = -(-num_cells // chunk)
+        pad = num_chunks * chunk - num_cells
+        cells_p = jnp.pad(cells, ((0, pad), (0, 0)))
+        parts = [
+            _score_pass(cells_p[c * chunk:(c + 1) * chunk], R_cw, t_G_C, cam)
+            for c in range(num_chunks)
+        ]
+        best = jnp.concatenate([p[0] for p in parts])[:num_cells]
+        best_alpha = jnp.concatenate([p[1] for p in parts])[:num_cells]
+        n_vis = jnp.concatenate([p[2] for p in parts])[:num_cells]
 
-    def process_chunk(args):
-        cell_chunk, prev_alpha = args
-        uv, visible, alpha, _ = _project_cells_all_cameras(
-            cell_chunk, quats_G_C, t_G_C, cam
-        )
-        # NaN elevation cells never project validly (isfinite in `project`)
-        alpha_m = jnp.where(visible, alpha, -jnp.inf)
-        best = jnp.argmax(alpha_m, axis=0)  # [T] first-max index
-        t_idx = jnp.arange(cell_chunk.shape[0])
-        best_alpha = alpha_m[best, t_idx]
-        best_uv = uv[best, t_idx]  # [T, 2]
+    value = _texel_pass(cells, best, R_cw, t_G_C, images, cam, colored)
 
-        kp_x = jnp.clip(jnp.round(best_uv[..., 0]).astype(jnp.int32), 0,
-                        img_w - 1)
-        kp_y = jnp.clip(jnp.round(best_uv[..., 1]).astype(jnp.int32), 0,
-                        img_h - 1)
-        texel = images[best, kp_y, kp_x]  # [T] or [T, 3]
-        if colored:
-            value = pack_rgb_to_float(texel.astype(jnp.float32) / 255.0)
-        else:
-            value = texel.astype(jnp.float32)
+    improved = (best_alpha > prev_angle) & jnp.isfinite(best_alpha)
 
-        improved = (best_alpha > prev_alpha) & jnp.isfinite(best_alpha)
-        n_obs = jnp.sum(visible, axis=0).astype(jnp.float32)
-        return (
-            value,
-            best_alpha,
-            best.astype(jnp.float32),
-            improved,
-            n_obs,
-        )
+    def unflat(x):
+        return x.reshape(h, w)
 
-    value, best_alpha, best_idx, improved, n_obs = jax.lax.map(
-        process_chunk, (cells_c, prev_c)
-    )
-
-    def unpad(x):
-        return x.reshape(num_chunks * chunk)[:num_cells].reshape(h, w)
-
-    value = unpad(value)
-    best_alpha = unpad(best_alpha)
-    best_idx = unpad(best_idx)
-    improved = unpad(improved)
-    n_obs = unpad(n_obs)
+    value = unflat(value)
+    best_alpha = unflat(best_alpha)
+    best_idx = unflat(best.astype(jnp.float32))
+    improved = unflat(improved)
+    n_vis = unflat(n_vis)
 
     new = dict(layers)
     target = "colored_ortho" if colored else "ortho"
@@ -159,5 +176,5 @@ def backward_grid_update(
     new["observation_index"] = jnp.where(
         improved, best_idx, layers["observation_index"]
     )
-    new["num_observations"] = layers["num_observations"] + n_obs
+    new["num_observations"] = layers["num_observations"] + n_vis
     return new

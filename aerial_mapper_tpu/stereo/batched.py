@@ -56,7 +56,7 @@ def prepare_pair_operands(
         else list(range(len(images)))
     if len(idx) < 2:
         raise ValueError("Need at least two frames for a stereo pair")
-    h, w = np.asarray(images[0]).shape
+    h, w = images[0].shape[-2], images[0].shape[-1]
 
     t1s, t2s, T1i, T2i, corners, rrect, bases = [], [], [], [], [], [], []
     i1s, i2s = [], []
@@ -77,8 +77,10 @@ def prepare_pair_operands(
         i1s.append(a)
         i2s.append(b)
 
+    # keep device arrays on device: a single d2h readback flips the axon
+    # TPU tunnel into a synchronous dispatch mode (~ms per call)
     stack_img = lambda ii: jnp.stack(  # noqa: E731
-        [jnp.asarray(np.asarray(images[i]), jnp.float32) for i in ii]
+        [jnp.asarray(images[i], jnp.float32) for i in ii]
     )
     return PairOperands(
         image1=stack_img(i1s),

@@ -6,12 +6,17 @@ reference system's dominant cost (O(cells x images) loops,
 ortho-backward-grid.cc:56-121) — on a cadastre-scale workload:
 249 images at 752x480, a 400x400-cell map at 0.5 m. The denominator is the
 measured native C++ baseline (native/reference_baseline.cc): the same loops
-with the reference's std::thread parFor parallelism on all host cores —
-the reference repo itself publishes no numbers (BASELINE.md).
+with the reference's std::thread parFor on all host cores — the reference
+repo itself publishes no numbers (BASELINE.md).
 
-Also measured and reported on stderr: end-to-end pipeline (virtual stereo
-every 7th frame, as the reference's dense demo flagfile does -> DSM -> ortho)
-in frames/s, and the DSM IDW kernel vs its native baseline.
+Timing methodology (axon TPU tunnel quirks, see .claude/skills/verify):
+``block_until_ready`` does not reliably block, and the FIRST device->host
+readback permanently flips the runtime into a slow synchronous dispatch
+mode. Each measurement therefore runs in its own subprocess that (1) warms
+up/compiles with no readback, (2) enqueues k data-dependent kernel calls,
+(3) pulls one scalar — so the timed window is entirely in clean async mode
+and ends when the device finishes. The orchestrator differences two k
+values to cancel the round-trip constant.
 
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -19,6 +24,7 @@ Prints exactly ONE JSON line to stdout:
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,36 +33,28 @@ import numpy as np
 NUM_IMAGES = int(os.environ.get("BENCH_NUM_IMAGES", "249"))
 IMG_W = int(os.environ.get("BENCH_IMG_W", "752"))
 IMG_H = int(os.environ.get("BENCH_IMG_H", "480"))
-MAP_CELLS = int(os.environ.get("BENCH_MAP_CELLS", "400"))  # per side
+MAP_CELLS = int(os.environ.get("BENCH_MAP_CELLS", "400"))
 RESOLUTION = 0.5
-REPS = int(os.environ.get("BENCH_REPS", "3"))
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main():
-    import jax
+# ---------------------------------------------------------------------------
+# worker mode: build workload, warm up, time k chained calls, print seconds
+# ---------------------------------------------------------------------------
+
+
+def _build_workload():
     import jax.numpy as jnp
 
     from aerial_mapper_tpu.camera.models import Camera
-    from aerial_mapper_tpu.config import (
-        BlockMatchingConfig,
-        DsmConfig,
-        OrthoBackwardGridConfig,
-    )
-    from aerial_mapper_tpu.dsm.idw import idw_to_grid
     from aerial_mapper_tpu.geo.se3 import matrix_to_quat
     from aerial_mapper_tpu.mapgrid.grid import (
         MapGeometry,
         cell_centers,
         create_map_state,
-    )
-    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
-    from aerial_mapper_tpu.stereo.batched import (
-        prepare_pair_operands,
-        process_pairs_batched,
     )
     from aerial_mapper_tpu.synth.scene import (
         SyntheticScene,
@@ -64,20 +62,14 @@ def main():
         render_image,
     )
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.platform} {dev.device_kind}")
-
-    # ---- workload: cadastre-scale synthetic survey --------------------
     cam = Camera(fx=480.0, fy=480.0, cx=IMG_W / 2.0, cy=IMG_H / 2.0,
                  width=IMG_W, height=IMG_H)
     scene = SyntheticScene(base_elevation=414.0, relief_amplitude=6.0)
-    # two flight lines spanning the 200 m x 200 m map
     Rs, ts = make_survey_poses(
         NUM_IMAGES, altitude=514.0, spacing=200.0 / max(NUM_IMAGES // 2, 1),
         num_lines=2, line_spacing=60.0, start_easting=-100.0,
         start_northing=-30.0,
     )
-    t_render0 = time.perf_counter()
     images = jnp.stack(
         [
             render_image(scene, cam, jnp.asarray(R, jnp.float32),
@@ -85,10 +77,6 @@ def main():
             for R, t in zip(Rs, ts)
         ]
     )
-    images.block_until_ready()
-    log(f"rendered {NUM_IMAGES} images {IMG_W}x{IMG_H} in "
-        f"{time.perf_counter() - t_render0:.1f}s")
-
     geom = MapGeometry(center_easting=0.0, center_northing=0.0,
                        resolution=RESOLUTION, height=MAP_CELLS,
                        width=MAP_CELLS)
@@ -96,101 +84,196 @@ def main():
     elevation = scene.height(ce, cn)
     layers = dict(create_map_state(geom).layers)
     layers["elevation"] = elevation
-
     quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
                         jnp.float32)
     ts_j = jnp.asarray(ts, jnp.float32)
-    ortho_cfg = OrthoBackwardGridConfig(cell_chunk=20000)
+    return cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, \
+        quats, ts_j
 
-    # ---- TPU: backward-grid ortho (headline) --------------------------
-    def run_ortho():
-        return backward_grid_update(
-            layers, quats, ts_j, images, geom, cam, ortho_cfg
+
+def worker_ortho(k: int):
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
+    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    cfg = OrthoBackwardGridConfig()
+
+    @jax.jit
+    def step(lay, images):
+        lay = dict(lay)
+        lay["elevation_angle"] = jnp.zeros_like(lay["elevation_angle"])
+        return backward_grid_update(lay, quats, ts_j, images, geom, cam, cfg)
+
+    lay = step(layers, images)  # compile + warmup (no readback)
+    lay = step(lay, images)
+    t0 = time.perf_counter()
+    lay = dict(layers)
+    for _ in range(k):
+        lay = step(lay, images)
+    total = float(jnp.sum(lay["ortho"]))  # single d2h ends the window
+    dt = time.perf_counter() - t0
+    print(f"RESULT {dt}", flush=True)
+    del total
+
+
+def worker_e2e(k: int):
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.config import (
+        BlockMatchingConfig,
+        DsmConfig,
+        OrthoBackwardGridConfig,
+    )
+    from aerial_mapper_tpu.dsm.idw import idw_to_grid
+    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    ortho_cfg = OrthoBackwardGridConfig()
+    bm_cfg = BlockMatchingConfig(num_disparities=64)
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+
+    @jax.jit
+    def step(eps, ops, layers, images):
+        o = ops._replace(image1=ops.image1 + eps * 1e-30)
+        pts, intens, valid = process_pairs_batched(
+            o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=4
         )
+        p = pts.reshape(-1, 3)
+        v = valid.reshape(-1)
+        values, hit = idw_to_grid(
+            p[:, :2], p[:, 2], v, geom, dsm_cfg.bin_capacity,
+            radius_sq=dsm_cfg.interpolation_radius_sq,
+            adaptive=True, growth=1.1, max_radius_sq=7.0,
+        )
+        li = dict(layers)
+        li["elevation"] = jnp.where(hit, values, jnp.nan)
+        out = backward_grid_update(
+            li, quats, ts_j, images, geom, cam, ortho_cfg
+        )
+        return jnp.sum(out["ortho"]) * 1e-12
 
-    out = run_ortho()
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        out = run_ortho()
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    t_tpu = float(np.median(times))
+    eps = step(jnp.float32(0), ops, layers, images)  # compile (no readback)
+    t0 = time.perf_counter()
+    eps = jnp.float32(0)
+    for _ in range(k):
+        eps = step(eps, ops, layers, images)
+    _ = float(eps)
+    dt = time.perf_counter() - t0
+    print(f"RESULT {dt}", flush=True)
+
+
+def worker_agreement():
+    """TPU vs native-CPU output agreement + CPU baseline timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
+    from aerial_mapper_tpu.native import backward_grid_cpu
+    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    cfg = OrthoBackwardGridConfig()
+    out = jax.jit(
+        lambda lay, img: backward_grid_update(lay, quats, ts_j, img, geom,
+                                              cam, cfg)
+    )(layers, images)
+    ortho_tpu = np.asarray(out["ortho"]).ravel()
+
+    cells_np = np.stack(
+        [np.asarray(ce, np.float64).ravel(),
+         np.asarray(cn, np.float64).ravel(),
+         np.asarray(elevation, np.float64).ravel()], axis=1,
+    )
+    R_cw = np.transpose(Rs, (0, 2, 1))
+    images_np = np.asarray(images, np.float32)
+    t0 = time.perf_counter()
+    o_cpu, a_cpu, _ = backward_grid_cpu(
+        cells_np, R_cw, ts, images_np, cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+    t_cpu = time.perf_counter() - t0
+    both = (a_cpu > 0) & np.isfinite(ortho_tpu)
+    agree = float(np.mean(np.abs(ortho_tpu[both] - o_cpu[both]) < 2.0)) \
+        if both.any() else 0.0
+    print(f"RESULT {t_cpu} {agree}", flush=True)
+
+
+def _spawn(mode: str, timeout=560) -> list:
+    env = dict(os.environ, BENCH_WORKER=mode)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return [float(x) for x in line.split()[1:]]
+    log(f"worker {mode} failed:\n{proc.stderr[-2000:]}")
+    raise RuntimeError(f"worker {mode} produced no RESULT")
+
+
+def main():
+    # persistent compile cache: workers are separate processes; without it
+    # every worker pays minutes of XLA compilation
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    mode = os.environ.get("BENCH_WORKER")
+    if mode:
+        kind, _, k = mode.partition(":")
+        if kind == "ortho":
+            worker_ortho(int(k))
+        elif kind == "e2e":
+            worker_e2e(int(k))
+        elif kind == "agree":
+            worker_agreement()
+        return
+
     mcells = MAP_CELLS * MAP_CELLS / 1e6
-    tpu_mcells_s = mcells / t_tpu
-    log(f"TPU backward-grid: {t_tpu * 1e3:.1f} ms "
-        f"-> {tpu_mcells_s:.2f} Mcells/s ({NUM_IMAGES} images)")
 
-    # ---- CPU native baseline (reference loops + parFor) ---------------
+    # headline: slope between k=3 and k=9 chained ortho passes
+    t8 = _spawn("ortho:8")[0]
+    t40 = _spawn("ortho:40")[0]
+    t_ortho = max((t40 - t8) / 32.0, 1e-9)
+    tpu_mcells_s = mcells / t_ortho
+    log(f"TPU backward-grid: {t_ortho * 1e3:.1f} ms/pass "
+        f"-> {tpu_mcells_s:.2f} Mcells/s ({NUM_IMAGES} images; "
+        f"k8={t8:.2f}s k40={t40:.2f}s)")
+
+    # CPU baseline + agreement
     cpu_mcells_s = None
     try:
-        from aerial_mapper_tpu.io.poses import _rot_matrix_np
-        from aerial_mapper_tpu.native import backward_grid_cpu
-
-        cells_np = np.stack(
-            [np.asarray(ce, np.float64).ravel(),
-             np.asarray(cn, np.float64).ravel(),
-             np.asarray(elevation, np.float64).ravel()], axis=1,
-        )
-        R_cw = np.transpose(Rs, (0, 2, 1))  # world->camera
-        images_np = np.asarray(images, np.float32)
-        t0 = time.perf_counter()
-        o_cpu, a_cpu, _ = backward_grid_cpu(
-            cells_np, R_cw, ts, images_np, cam.fx, cam.fy, cam.cx, cam.cy,
-        )
-        t_cpu = time.perf_counter() - t0
+        t_cpu, agree = _spawn("agree")
         cpu_mcells_s = mcells / t_cpu
-        log(f"CPU baseline (native parFor, all cores): {t_cpu:.2f} s "
-            f"-> {cpu_mcells_s:.3f} Mcells/s")
-        # sanity: outputs agree where both textured
-        ortho_tpu = np.asarray(out["ortho"]).ravel()
-        both = (a_cpu > 0) & np.isfinite(ortho_tpu)
-        agree = np.mean(
-            np.abs(ortho_tpu[both] - o_cpu[both]) < 2.0
-        ) if both.any() else 0.0
-        log(f"TPU/CPU ortho agreement (<2 gray levels): {agree:.3f}")
+        log(f"CPU baseline (native parFor): {t_cpu:.2f} s "
+            f"-> {cpu_mcells_s:.3f} Mcells/s; TPU/CPU agreement {agree:.3f}")
     except Exception as e:  # noqa: BLE001
         log(f"CPU baseline unavailable: {type(e).__name__}: {e}")
 
-    # ---- secondary: end-to-end (stereo every 7th -> DSM -> ortho) -----
+    # end-to-end frames/s
     try:
-        bm_cfg = BlockMatchingConfig(num_disparities=64)
-        dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
-        ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
-
-        def end_to_end(ops_a, layers_a, quats_a, ts_a, images_a):
-            pts, intens, valid = process_pairs_batched(
-                ops_a, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1
-            )
-            p = pts.reshape(-1, 3)
-            v = valid.reshape(-1)
-            values, hit = idw_to_grid(
-                p[:, :2], p[:, 2], v, geom, dsm_cfg.bin_capacity,
-                radius_sq=dsm_cfg.interpolation_radius_sq,
-                adaptive=True, growth=1.1, max_radius_sq=7.0,
-            )
-            li = dict(layers_a)
-            li["elevation"] = jnp.where(hit, values,
-                                        jnp.full_like(values, jnp.nan))
-            return backward_grid_update(
-                li, quats_a, ts_a, images_a, geom, cam, ortho_cfg
-            )
-
-        e2e = jax.jit(end_to_end)
-        jax.block_until_ready(e2e(ops, layers, quats, ts_j, images))
-        t0 = time.perf_counter()
-        out2 = e2e(ops, layers, quats, ts_j, images)
-        jax.block_until_ready(out2)
-        t_e2e = time.perf_counter() - t0
-        log(f"end-to-end (stereo x{ops.image1.shape[0]} pairs + DSM + "
-            f"ortho): {t_e2e:.2f} s -> {NUM_IMAGES / t_e2e:.1f} frames/s")
+        e1 = _spawn("e2e:1")[0]
+        e5 = _spawn("e2e:5")[0]
+        t_e2e = max((e5 - e1) / 4.0, 1e-9)
+        log(f"end-to-end (stereo 36 pairs + DSM + ortho): {t_e2e:.2f} s "
+            f"-> {NUM_IMAGES / t_e2e:.1f} frames/s")
     except Exception as e:  # noqa: BLE001
         log(f"end-to-end bench failed: {type(e).__name__}: {e}")
 
-    vs_baseline = (
-        tpu_mcells_s / cpu_mcells_s if cpu_mcells_s else None
-    )
+    vs_baseline = tpu_mcells_s / cpu_mcells_s if cpu_mcells_s else None
     print(json.dumps({
         "metric": "ortho_backward_grid_throughput",
         "value": round(tpu_mcells_s, 3),
