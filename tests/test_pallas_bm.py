@@ -1,0 +1,66 @@
+"""Fused Pallas BM kernel vs the XLA cost-volume matcher (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.config import BlockMatchingConfig
+from aerial_mapper_tpu.stereo import block_matching_disparity, rectify_pair
+from aerial_mapper_tpu.stereo.pallas_bm import block_matching_disparity_pallas
+from aerial_mapper_tpu.synth import SyntheticScene, make_survey_poses, render_image
+
+CAM = Camera(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320, height=240)
+SCENE = SyntheticScene(base_elevation=414.0, relief_amplitude=5.0)
+
+
+def rendered_rect_pair():
+    Rs, ts = make_survey_poses(2, altitude=514.0, spacing=6.0)
+    img1 = render_image(SCENE, CAM, jnp.asarray(Rs[0], jnp.float32),
+                        jnp.asarray(ts[0], jnp.float32))
+    img2 = render_image(SCENE, CAM, jnp.asarray(Rs[1], jnp.float32),
+                        jnp.asarray(ts[1], jnp.float32))
+    return rectify_pair(CAM.K, Rs[0], Rs[1], ts[0], ts[1], img1, img2)
+
+
+def test_pallas_bm_matches_xla_matcher():
+    rect = rendered_rect_pair()
+    cfg = BlockMatchingConfig(num_disparities=32)
+    d_ref = np.asarray(
+        block_matching_disparity(rect.image_left, rect.image_right,
+                                 rect.mask, cfg)
+    )
+    d_pal = np.asarray(
+        block_matching_disparity_pallas(
+            rect.image_left, rect.image_right, rect.mask, cfg,
+            tile_h=48, interpret=True,
+        )
+    )
+    valid_both = (d_ref > 1.0) & (d_pal > 1.0)
+    assert valid_both.mean() > 0.25
+    # identical WTA + sub-pixel where both paths accept the pixel
+    err = np.abs(d_ref[valid_both] - d_pal[valid_both])
+    assert np.median(err) < 0.01, f"median {np.median(err)}"
+    assert (err < 0.5).mean() > 0.98
+    # validity sets overlap strongly (pallas runner-up is conservative,
+    # and skips the LR check)
+    agree = (d_ref > 1.0) == (d_pal > 1.0)
+    assert agree.mean() > 0.85
+
+
+def test_pallas_bm_height_not_multiple_of_tile():
+    rect = rendered_rect_pair()
+    cfg = BlockMatchingConfig(num_disparities=32)
+    d1 = np.asarray(
+        block_matching_disparity_pallas(
+            rect.image_left, rect.image_right, rect.mask, cfg,
+            tile_h=64, interpret=True,
+        )
+    )
+    d2 = np.asarray(
+        block_matching_disparity_pallas(
+            rect.image_left, rect.image_right, rect.mask, cfg,
+            tile_h=120, interpret=True,
+        )
+    )
+    v = (d1 > 1.0) & (d2 > 1.0)
+    np.testing.assert_allclose(d1[v], d2[v], atol=1e-4)
