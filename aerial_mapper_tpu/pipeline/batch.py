@@ -29,27 +29,50 @@ from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
 from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
 from aerial_mapper_tpu.ortho.homography import homography_mosaic_batch
 from aerial_mapper_tpu.pipeline.dataset import Dataset
-from aerial_mapper_tpu.stereo.pipeline import VirtualStereo
 from aerial_mapper_tpu.utils.timing import StageTimer
 
 logger = logging.getLogger("aerial_mapper_tpu")
 
 
 def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
-    """Shared stereo front-end: images + poses -> stacked point buffers."""
-    engine = VirtualStereo(
-        dataset.rig.camera, cfg.stereo, bm_cfg=cfg.bm, sgm_cfg=cfg.sgm
+    """Shared stereo front-end: images + poses -> stacked point buffers.
+
+    Uses the batched pair path (stereo/batched.py): the whole subsampled
+    sequence is one chunked device program instead of the reference's
+    serial per-pair loop (stereo.cpp:91-110).
+    """
+    from aerial_mapper_tpu.io.poses import _rot_matrix_np
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
     )
+
     quats_c, trans_c = dataset.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
     images = [jnp.asarray(im, jnp.float32) for im in dataset.images]
+    if images[0].ndim == 3:
+        # matching runs on grayscale (stereo.cpp:117-125)
+        from aerial_mapper_tpu.image.color import rgb_to_gray
+
+        images = [rgb_to_gray(im) for im in images]
+    if cfg.stereo.images_need_undistortion:
+        from aerial_mapper_tpu.camera.undistort import undistort_image
+
+        images = [undistort_image(dataset.rig.camera, im) for im in images]
+    ops = prepare_pair_operands(
+        dataset.rig.camera.K, Rs, trans_c, images,
+        use_every_nth=cfg.stereo.use_every_nth_image,
+    )
     with timer.stage("dense_pcl", work_items=len(images)):
-        results = engine.process_sequence(images, quats_c, trans_c)
-    if not results:
-        raise ValueError("Sequence produced no stereo pairs")
-    points = jnp.concatenate([r.points for r in results])
-    intens = jnp.concatenate([r.intensities for r in results])
-    valid = jnp.concatenate([r.valid for r in results])
-    return points, intens, valid
+        points, intens, valid = process_pairs_batched(
+            ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
+            bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=4,
+        )
+    return (
+        points.reshape(-1, 3),
+        intens.reshape(-1),
+        valid.reshape(-1),
+    )
 
 
 def run_dense_pcl(
