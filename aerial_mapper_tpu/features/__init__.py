@@ -5,4 +5,7 @@ from aerial_mapper_tpu.features.tracks import (  # noqa: F401
     build_tracks,
     triangulate_tracks,
 )
-from aerial_mapper_tpu.features.refine import refine_poses  # noqa: F401
+from aerial_mapper_tpu.features.refine import (  # noqa: F401
+    refine_poses,
+    refine_poses_windowed,
+)

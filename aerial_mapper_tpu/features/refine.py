@@ -104,3 +104,50 @@ def refine_poses(
         np.asarray(refined.trans, np.float64),
         stats,
     )
+
+
+def refine_poses_windowed(
+    images: Sequence[jax.Array],
+    quats_G_C: np.ndarray,
+    trans_G_C: np.ndarray,
+    cam: Camera,
+    window_size: int = 20,
+    overlap: int = 5,
+    ba_cfg: BundleAdjustmentConfig = BundleAdjustmentConfig(),
+    **refine_kwargs,
+):
+    """Sliding-window pose refinement over long sequences.
+
+    Each window is refined with :func:`refine_poses`; the already-refined
+    overlap poses carry the previous window's result forward (they re-enter
+    the next window as its initialization, and the position prior in the BA
+    keeps the windows consistent). Memory stays bounded by the window size
+    regardless of sequence length — the "windowed bundle adjustment" of the
+    north-star plan (BASELINE.json config 4).
+    """
+    n = len(images)
+    if n <= window_size:
+        return refine_poses(images, quats_G_C, trans_G_C, cam,
+                            ba_cfg=ba_cfg, **refine_kwargs)
+
+    quats = np.array(quats_G_C, np.float64)
+    trans = np.array(trans_G_C, np.float64)
+    stats_all = {"tracks": 0, "matches": 0, "windows": 0}
+    stride = max(window_size - overlap, 1)
+    start = 0
+    while start < n - overlap:
+        stop = min(start + window_size, n)
+        q_w, t_w, stats = refine_poses(
+            images[start:stop], quats[start:stop], trans[start:stop], cam,
+            ba_cfg=ba_cfg, **refine_kwargs,
+        )
+        quats[start:stop] = q_w
+        trans[start:stop] = t_w
+        stats_all["tracks"] += stats.get("tracks", 0)
+        stats_all["matches"] += stats.get("matches", 0)
+        stats_all["windows"] += 1
+        if stop == n:
+            break
+        start += stride
+    logger.info("refine_poses_windowed: %s", stats_all)
+    return quats, trans, stats_all
