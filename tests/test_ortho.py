@@ -209,3 +209,67 @@ def test_ortho_from_points_parity(rng):
     )
     np.testing.assert_allclose(got[ref_hit], ref_vals[ref_hit], rtol=2e-4,
                                atol=5e-2)
+
+
+def test_backward_grid_colored_ortho():
+    from aerial_mapper_tpu.image.color import unpack_float_to_rgb
+
+    Rs, ts, images_gray = synth_views(4)
+    # synthesize RGB by tinting the gray renders
+    images_rgb = jnp.stack(
+        [jnp.stack([g, 0.5 * g, 0.25 * g], axis=-1) for g in images_gray]
+    )
+    ce, cn = cell_centers(GEOM)
+    layers = dict(create_map_state(GEOM).layers)
+    layers["elevation"] = SCENE.height(ce, cn)
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    out = backward_grid_update(
+        layers, quats, jnp.asarray(ts, jnp.float32), images_rgb,
+        GEOM, CAM, OrthoBackwardGridConfig(colored_ortho=True),
+    )
+    packed = out["colored_ortho"]
+    textured = np.isfinite(np.asarray(packed))
+    assert textured.mean() > 0.5
+    rgb = np.asarray(unpack_float_to_rgb(packed))
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    m = textured & (r > 0.05)
+    # the tint ratios survive the pack/unpack roundtrip
+    np.testing.assert_allclose(g[m] / r[m], 0.5, atol=0.04)
+    np.testing.assert_allclose(b[m] / r[m], 0.25, atol=0.04)
+    # gray ortho layer untouched in colored mode
+    assert (np.asarray(out["ortho"]) == 255.0).all()
+
+
+def test_homography_incremental_updates_match_batch():
+    from aerial_mapper_tpu.ortho.homography import (
+        create_mosaic_state,
+        homography_mosaic_update,
+    )
+
+    flat = SyntheticScene(base_elevation=414.0, relief_amplitude=0.0)
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=12.0)
+    images = jnp.stack(
+        [
+            render_image(flat, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0, width_mosaic_pixels=96,
+        height_mosaic_pixels=64, resolution=1.0, origin=(20.0, 0.0, 0.0),
+    )
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ts_j = jnp.asarray(ts, jnp.float32)
+
+    batch = homography_mosaic_batch(images, quats, ts_j, CAM, cfg,
+                                    needs_undistortion=False)
+    state = create_mosaic_state(cfg)
+    for i in range(4):
+        state = homography_mosaic_update(
+            state, images[i], quats[i], ts_j[i], CAM, cfg,
+            needs_undistortion=False,
+        )
+    np.testing.assert_allclose(
+        np.asarray(state.mosaic), np.asarray(batch), atol=1e-3
+    )
