@@ -116,6 +116,9 @@ def run_dsm(
 ):
     """DSM demo (main-dsm.cc:46-111): cloud (given or generated) -> elevation
     layer -> float32 GeoTiff."""
+    from aerial_mapper_tpu.utils.timing import log_config
+
+    log_config("DSM", cfg.dsm)
     timer = StageTimer()
     geom = MapGeometry.from_config(cfg.grid)
     points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
@@ -147,6 +150,9 @@ def run_ortho_backward_grid(
 ):
     """Batch backward-grid demo (main-ortho-backward-grid.cc:66-145):
     DSM first, then best-angle ortho texturing against all images."""
+    from aerial_mapper_tpu.utils.timing import log_config
+
+    log_config("Orthomosaic (backward grid)", cfg.ortho_backward)
     timer = StageTimer()
     layers, geom = run_dsm(dataset, cfg, point_cloud=point_cloud)
 

@@ -73,3 +73,23 @@ class StageTimer:
             extra = f"  ({tp:.2f} items/s)" if tp else ""
             lines.append(f"  {name}: {dt:.4f} s{extra}")
         return "\n".join(lines)
+
+
+def config_banner(name: str, cfg) -> str:
+    """Render a config dataclass as the reference's parameter banner
+    (utils::paramToString, utils-common.cc:12-38; printed by dsm.cc:203-214
+    and ortho-backward-grid.cc:241-253)."""
+    import dataclasses
+
+    lines = ["*" * 50, f"{name} parameters:"]
+    if dataclasses.is_dataclass(cfg):
+        for f in dataclasses.fields(cfg):
+            lines.append(f"  {f.name}: {getattr(cfg, f.name)}")
+    else:
+        lines.append(f"  {cfg}")
+    lines.append("*" * 50)
+    return "\n".join(lines)
+
+
+def log_config(name: str, cfg) -> None:
+    logger.info("%s", config_banner(name, cfg))

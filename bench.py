@@ -102,19 +102,16 @@ def worker_ortho(k: int):
      ts_j) = _build_workload()
     cfg = OrthoBackwardGridConfig()
 
-    @jax.jit
-    def step(lay, images):
-        lay = dict(lay)
-        lay["elevation_angle"] = jnp.zeros_like(lay["elevation_angle"])
-        return backward_grid_update(lay, quats, ts_j, images, geom, cam, cfg)
-
-    lay = step(layers, images)  # compile + warmup (no readback)
-    lay = step(lay, images)
+    # direct production entry point (already jitted); no wrapper compile
+    out = backward_grid_update(layers, quats, ts_j, images, geom, cam, cfg)
+    out = backward_grid_update(out, quats, ts_j, images, geom, cam, cfg)
     t0 = time.perf_counter()
-    lay = dict(layers)
+    lay = layers
     for _ in range(k):
-        lay = step(lay, images)
-    total = float(jnp.sum(lay["ortho"]))  # single d2h ends the window
+        # single-device FIFO stream: k enqueued programs execute
+        # back-to-back; the final scalar pull ends the timed window
+        lay = backward_grid_update(lay, quats, ts_j, images, geom, cam, cfg)
+    total = float(jnp.sum(lay["ortho"]))
     dt = time.perf_counter() - t0
     print(f"RESULT {dt}", flush=True)
     del total
