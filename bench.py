@@ -10,13 +10,14 @@ with the reference's std::thread parFor on all host cores — the reference
 repo itself publishes no numbers (BASELINE.md).
 
 Timing methodology (axon TPU tunnel quirks, see .claude/skills/verify):
-``block_until_ready`` does not reliably block, and the FIRST device->host
-readback permanently flips the runtime into a slow synchronous dispatch
-mode. Each measurement therefore runs in its own subprocess that (1) warms
-up/compiles with no readback, (2) enqueues k data-dependent kernel calls,
-(3) pulls one scalar — so the timed window is entirely in clean async mode
-and ends when the device finishes. The orchestrator differences two k
-values to cancel the round-trip constant.
+``block_until_ready`` does not reliably block, and the tunnel's first
+queue flush after a large enqueue backlog can stall for tens of seconds
+with huge run-to-run variance (measured: the same k=8 chain 9.8 s vs
+50.7 s in back-to-back worker runs). Each measurement therefore (1) warms
+up/compiles, (2) DRAINS the queue with a scalar readback, then (3) times
+several repetitions of [enqueue k data-dependent kernel calls -> pull one
+scalar] and keeps the MINIMUM window; two k values are differenced inside
+the same process to cancel the per-window round-trip constant.
 
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
@@ -91,7 +92,29 @@ def _build_workload():
         quats, ts_j
 
 
-def worker_ortho(k: int):
+def _min_window(step, state0, k: int, reps: int, readback) -> float:
+    """Min wall-time over ``reps`` windows of [k chained calls -> readback].
+
+    ``readback(state) -> float`` pulls one scalar, ending the window when
+    the device has finished every enqueued program. The queue is drained
+    before each window so stale backlog (and its wildly variable tunnel
+    flush latency) never lands inside a timed region.
+    """
+    best = float("inf")
+    state = state0
+    for _ in range(reps):
+        readback(state)  # drain
+        t0 = time.perf_counter()
+        for _ in range(k):
+            # single-device FIFO stream: k enqueued programs execute
+            # back-to-back; the final scalar pull ends the timed window
+            state = step(state)
+        readback(state)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def worker_ortho(k_small: int, k_large: int):
     import jax
     import jax.numpy as jnp
 
@@ -103,18 +126,14 @@ def worker_ortho(k: int):
     cfg = OrthoBackwardGridConfig()
 
     # direct production entry point (already jitted); no wrapper compile
-    out = backward_grid_update(layers, quats, ts_j, images, geom, cam, cfg)
-    out = backward_grid_update(out, quats, ts_j, images, geom, cam, cfg)
-    t0 = time.perf_counter()
-    lay = layers
-    for _ in range(k):
-        # single-device FIFO stream: k enqueued programs execute
-        # back-to-back; the final scalar pull ends the timed window
-        lay = backward_grid_update(lay, quats, ts_j, images, geom, cam, cfg)
-    total = float(jnp.sum(lay["ortho"]))
-    dt = time.perf_counter() - t0
-    print(f"RESULT {dt}", flush=True)
-    del total
+    step = lambda lay: backward_grid_update(  # noqa: E731
+        lay, quats, ts_j, images, geom, cam, cfg
+    )
+    readback = lambda lay: float(jnp.sum(lay["ortho"]))  # noqa: E731
+    step(layers)  # compile
+    t_small = _min_window(step, layers, k_small, reps=4, readback=readback)
+    t_large = _min_window(step, layers, k_large, reps=4, readback=readback)
+    print(f"RESULT {t_small} {t_large}", flush=True)
 
 
 def worker_e2e(k: int):
@@ -160,13 +179,11 @@ def worker_e2e(k: int):
         )
         return jnp.sum(out["ortho"]) * 1e-12
 
-    eps = step(jnp.float32(0), ops, layers, images)  # compile (no readback)
-    t0 = time.perf_counter()
-    eps = jnp.float32(0)
-    for _ in range(k):
-        eps = step(eps, ops, layers, images)
-    _ = float(eps)
-    dt = time.perf_counter() - t0
+    step(jnp.float32(0), ops, layers, images)  # compile
+    dt = _min_window(
+        lambda eps: step(eps, ops, layers, images),
+        jnp.float32(0), k, reps=3, readback=float,
+    )
     print(f"RESULT {dt}", flush=True)
 
 
@@ -232,7 +249,8 @@ def main():
     if mode:
         kind, _, k = mode.partition(":")
         if kind == "ortho":
-            worker_ortho(int(k))
+            ka, _, kb = k.partition(":")
+            worker_ortho(int(ka), int(kb))
         elif kind == "e2e":
             worker_e2e(int(k))
         elif kind == "agree":
@@ -241,9 +259,8 @@ def main():
 
     mcells = MAP_CELLS * MAP_CELLS / 1e6
 
-    # headline: slope between k=3 and k=9 chained ortho passes
-    t8 = _spawn("ortho:8")[0]
-    t40 = _spawn("ortho:40")[0]
+    # headline: slope between min-window k=8 and k=40 chained ortho passes
+    t8, t40 = _spawn("ortho:8:40")
     t_ortho = max((t40 - t8) / 32.0, 1e-9)
     tpu_mcells_s = mcells / t_ortho
     log(f"TPU backward-grid: {t_ortho * 1e3:.1f} ms/pass "
