@@ -111,6 +111,10 @@ class OrthoBackwardGridConfig:
     # Cells per score-pass chunk: bounds the [num_images x chunk] tensors.
     # Default covers a 512x512 map in one pass; memory ~ N * chunk * 24 B.
     cell_chunk: int = 262144
+    # "xla" (portable default) or "pallas" (fused VMEM-resident score pass,
+    # pinhole cameras only; see ortho/pallas_score.py — not compilable
+    # through the axon remote-compile tunnel, so opt-in).
+    score_kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,3 +4,4 @@ from aerial_mapper_tpu.ortho.homography import (  # noqa: F401
     homography_mosaic_update,
 )
 from aerial_mapper_tpu.ortho.from_points import ortho_from_points  # noqa: F401
+from aerial_mapper_tpu.ortho.pallas_score import score_pass_pallas  # noqa: F401

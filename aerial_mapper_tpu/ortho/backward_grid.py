@@ -139,7 +139,16 @@ def backward_grid_update(
     R_cw = quat_to_matrix(quat_conjugate(quats_G_C))  # [N, 3, 3] world->cam
 
     chunk = min(cfg.cell_chunk, num_cells)
-    if chunk >= num_cells:
+    if cfg.score_kernel == "pallas":
+        # fused VMEM-resident score pass (pallas_score.py); tiles the cell
+        # axis internally, so no chunking needed
+        from aerial_mapper_tpu.ortho.pallas_score import score_pass_pallas
+
+        best, best_alpha, n_vis = score_pass_pallas(
+            cells, R_cw, t_G_C, cam,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif chunk >= num_cells:
         best, best_alpha, n_vis = _score_pass(cells, R_cw, t_G_C, cam)
     else:
         # unrolled chunk loop (static count) bounds the [N, chunk] tensors
