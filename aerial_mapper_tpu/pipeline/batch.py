@@ -66,7 +66,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
     with timer.stage("dense_pcl", work_items=len(images)):
         points, intens, valid = process_pairs_batched(
             ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
-            bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=4,
+            bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
         )
     return (
         points.reshape(-1, 3),

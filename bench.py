@@ -163,7 +163,7 @@ def worker_e2e(k: int):
     def step(eps, ops, layers, images):
         o = ops._replace(image1=ops.image1 + eps * 1e-30)
         pts, intens, valid = process_pairs_batched(
-            o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=4
+            o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1
         )
         p = pts.reshape(-1, 3)
         v = valid.reshape(-1)
