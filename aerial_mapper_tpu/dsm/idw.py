@@ -126,8 +126,7 @@ def bin_points(
     # instead of argsort + four 12M-index gathers (measured 895 -> 323 ms
     # for 12.6M points on a v5e).
     sorted_ids, de_all, dn_all, payload_sorted = jax.lax.sort(
-        (cell_id, points_xy[:, 0] - ce, points_xy[:, 1] - cn,
-         payload.astype(points_xy.dtype)),
+        (cell_id, points_xy[:, 0] - ce, points_xy[:, 1] - cn, payload),
         num_keys=1,
     )
     rank = _segment_rank(sorted_ids)
@@ -137,7 +136,7 @@ def bin_points(
 
     de = jnp.full((h * w * k,), _FAR, points_xy.dtype)
     dn = jnp.full((h * w * k,), _FAR, points_xy.dtype)
-    pl = jnp.zeros((h * w * k,), points_xy.dtype)
+    pl = jnp.zeros((h * w * k,), payload.dtype)
     de = de.at[flat_idx].set(de_all, mode="drop")
     dn = dn.at[flat_idx].set(dn_all, mode="drop")
     pl = pl.at[flat_idx].set(payload_sorted, mode="drop")

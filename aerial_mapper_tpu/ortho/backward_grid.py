@@ -163,6 +163,11 @@ def backward_grid_update(
 
     R_cw = quat_to_matrix(quat_conjugate(quats_G_C))  # [N, 3, 3] world->cam
 
+    if cfg.score_kernel not in ("xla", "pallas"):
+        raise ValueError(
+            f"score_kernel must be 'xla' or 'pallas', got "
+            f"{cfg.score_kernel!r}"
+        )
     chunk = min(cfg.cell_chunk, num_cells)
     if cfg.score_kernel == "pallas":
         # fused VMEM-resident score pass (pallas_score.py); tiles the cell

@@ -101,15 +101,18 @@ def _min_window(step, state0, k: int, reps: int, readback) -> float:
     flush latency) never lands inside a timed region.
     """
     best = float("inf")
-    state = state0
+    # true drain: run one step and read it back, so compile/warm-up backlog
+    # is flushed even when state0 is an already-committed constant (a bare
+    # readback(state0) would enqueue nothing and flush nothing)
+    state = step(state0)
+    readback(state)
     for _ in range(reps):
-        readback(state)  # drain
         t0 = time.perf_counter()
         for _ in range(k):
             # single-device FIFO stream: k enqueued programs execute
             # back-to-back; the final scalar pull ends the timed window
             state = step(state)
-        readback(state)
+        readback(state)  # ends this window AND drains for the next one
         best = min(best, time.perf_counter() - t0)
     return best
 
