@@ -1,9 +1,10 @@
 """Smoke tests for the demo CLIs on a generated synthetic dataset.
 
 One test per reference demo binary (aerial_mapper_demos/src/: dense-pcl,
-dsm, ortho x4 — google-maps and pix4d-geofile are covered by their unit
-tests). Tiny shapes keep CPU compile time bounded; assertions check that
-each CLI writes its artifacts and that rasters carry sane values.
+dsm, ortho x4, pix4d-geofile, google-maps) plus the framework's extra CLIs
+(refine-poses, convert-simulation; make-synthetic-dataset is the fixture).
+Tiny shapes keep CPU compile time bounded; assertions check that each CLI
+writes its artifacts and that rasters carry sane values.
 """
 
 import os
@@ -110,3 +111,71 @@ def test_cli_ortho_from_pcl(dataset_dir):
            "--orthomosaic_jpg_filename", jpg])
     img = load_images_by_names(os.path.dirname(jpg), [os.path.basename(jpg)])[0]
     assert img.std() > 1.0  # carries texture, not a constant fill
+
+
+def test_cli_generate_pix4d_geofile(dataset_dir, tmp_path):
+    from aerial_mapper_tpu.cli import main_generate_pix4d_geofile
+
+    out = str(tmp_path / "pix4d")
+    main_generate_pix4d_geofile.main(
+        ["--data_directory", dataset_dir,
+         "--output_directory", out,
+         "--georeference_every_nth_image", "2"])
+    lines = open(os.path.join(out, "geofile.txt")).read().splitlines()
+    assert len(lines) == 3  # images 2, 4, 6 of 6
+    name, x, y, z = lines[0].split()
+    assert name.endswith(".jpeg") and os.path.exists(os.path.join(out, name))
+    assert 440 < float(z) < 470  # camera altitude ~454
+
+
+def test_cli_refine_poses(dataset_dir, tmp_path):
+    from aerial_mapper_tpu.cli import main_refine_poses
+    from aerial_mapper_tpu.io.poses import PoseFormat, load_poses
+
+    out = str(tmp_path / "refined_poses.txt")
+    main_refine_poses.main(
+        ["--data_directory", dataset_dir, "--output_poses", out,
+         "--num_corners", "64", "--ba_iterations", "3"])
+    quats, trans, _ = load_poses(out, PoseFormat.STANDARD)
+    assert len(trans) == 6
+    # noiseless input: refinement must stay near the true trajectory
+    assert abs(float(trans[0][2]) - 454.0) < 1.0
+
+
+def test_cli_convert_simulation(tmp_path):
+    from aerial_mapper_tpu.cli import main_convert_simulation
+    from aerial_mapper_tpu.io.images import save_image
+    from aerial_mapper_tpu.io.poses import PoseFormat, load_poses
+
+    sim = tmp_path / "sim"
+    (sim / "cam0").mkdir(parents=True)
+    # ROS-csv poses: t x y z qx qy qz qw; image ids map to t-1 via offset
+    with open(sim / "vi_imu_poses.csv", "w") as f:
+        for t in range(100, 106):
+            f.write(f"{t}, {t * 1.0}, 0.0, 454.0, 0.0, 0.0, 0.0, 1.0\n")
+    with open(sim / "blender_id_time.csv", "w") as f:
+        for i, t in enumerate(range(101, 107)):  # offset -1 -> pose t-1
+            f.write(f"{i}, {t}\n")
+    for t in range(101, 107):
+        save_image(str(sim / "cam0" / f"{t}.png"),
+                   np.full((8, 12), 128.0, np.float32))
+
+    out = tmp_path / "converted"
+    main_convert_simulation.main(
+        ["--input_directory", str(sim), "--output_directory", str(out),
+         "--timestamp_offset", "-1"])
+    quats, trans, _ = load_poses(str(out / "opt_poses.txt"),
+                                 PoseFormat.STANDARD)
+    assert len(trans) == 6
+    assert abs(float(trans[0][0]) - 100.0) < 1e-6
+    assert os.path.exists(out / "image_5.jpg")
+
+
+def test_cli_google_maps_offline(tmp_path):
+    from aerial_mapper_tpu.cli import main_google_maps
+
+    # zero-egress: must not crash, reports the URL and exits cleanly
+    main_google_maps.main(
+        ["--center_easting", "465000", "--center_northing", "5272000",
+         "--utm_zone", "32",
+         "--output", str(tmp_path / "tile.png")])
