@@ -190,6 +190,28 @@ def worker_e2e(k: int):
     print(f"RESULT {dt}", flush=True)
 
 
+def worker_e2e_cpu():
+    """Faithful CPU reference end-to-end (OpenCV BM + native parFor loops)."""
+    import jax
+
+    from aerial_mapper_tpu.testing.cpu_pipeline import (
+        run_reference_pipeline_cpu,
+    )
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    images_np = np.asarray(images, np.float32)
+    t0 = time.perf_counter()
+    elev_cpu, ortho_cpu, timings = run_reference_pipeline_cpu(
+        cam.K, np.asarray(Rs, np.float64), np.asarray(ts, np.float64),
+        images_np, geom, use_every_nth=7, num_disparities=64,
+    )
+    total = time.perf_counter() - t0
+    cov = float(np.isfinite(elev_cpu).mean())
+    print(f"RESULT {total} {timings['stereo']} {timings['dsm']} "
+          f"{timings['ortho']} {cov}", flush=True)
+
+
 def worker_agreement():
     """TPU vs native-CPU output agreement + CPU baseline timing."""
     import jax
@@ -256,6 +278,8 @@ def main():
             worker_ortho(int(ka), int(kb))
         elif kind == "e2e":
             worker_e2e(int(k))
+        elif kind == "e2e_cpu":
+            worker_e2e_cpu()
         elif kind == "agree":
             worker_agreement()
         return
@@ -280,13 +304,21 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"CPU baseline unavailable: {type(e).__name__}: {e}")
 
-    # end-to-end frames/s
+    # end-to-end frames/s (TPU) + faithful CPU reference pipeline
     try:
         e1 = _spawn("e2e:1")[0]
         e5 = _spawn("e2e:5")[0]
         t_e2e = max((e5 - e1) / 4.0, 1e-9)
         log(f"end-to-end (stereo 36 pairs + DSM + ortho): {t_e2e:.2f} s "
             f"-> {NUM_IMAGES / t_e2e:.1f} frames/s")
+        try:
+            tc, tst, tdsm, tor, cov = _spawn("e2e_cpu")
+            log(f"CPU reference e2e (cv2.StereoBM + native parFor): "
+                f"{tc:.2f} s (stereo {tst:.2f} dsm {tdsm:.2f} ortho "
+                f"{tor:.2f}; DSM coverage {cov:.2f}) -> e2e speedup "
+                f"{tc / t_e2e:.1f}x")
+        except Exception as e:  # noqa: BLE001
+            log(f"CPU e2e baseline unavailable: {type(e).__name__}: {e}")
     except Exception as e:  # noqa: BLE001
         log(f"end-to-end bench failed: {type(e).__name__}: {e}")
 

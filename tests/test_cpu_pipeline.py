@@ -1,0 +1,66 @@
+"""CPU reference pipeline (cv2.StereoBM + native loops) vs analytic truth
+and vs the JAX pipeline — validates the end-to-end speedup denominator."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from aerial_mapper_tpu.mapgrid import MapGeometry, cell_centers  # noqa: E402
+from aerial_mapper_tpu.native import load_native  # noqa: E402
+from aerial_mapper_tpu.io.poses import _rot_matrix_np  # noqa: E402
+from aerial_mapper_tpu.testing.cpu_pipeline import (  # noqa: E402
+    run_reference_pipeline_cpu,
+)
+
+from test_end_to_end import CAM, SCENE, make_dataset, pipeline_config  # noqa: E402
+
+
+@pytest.mark.skipif(load_native() is None,
+                    reason="native baseline library not built")
+def test_cpu_pipeline_matches_ground_truth():
+    ds = make_dataset()
+    quats, trans = ds.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats])
+    images = np.stack(ds.images)
+    geom = MapGeometry(center_easting=30.0, center_northing=0.0,
+                       resolution=0.5, height=100, width=120)
+    elev, ortho, timings = run_reference_pipeline_cpu(
+        CAM.K, Rs, trans, images, geom, use_every_nth=1, num_disparities=48,
+    )
+    cov = np.isfinite(elev)
+    assert cov.mean() > 0.9
+    ce, cn = cell_centers(geom)
+    truth = np.asarray(SCENE.height(ce, cn))
+    rmse = float(np.sqrt(np.mean((elev[cov] - truth[cov]) ** 2)))
+    assert rmse < geom.resolution  # same 1-cell criterion as the JAX path
+    tex = np.asarray(SCENE.texture(ce, cn))
+    textured = ortho != 255.0
+    assert textured.mean() > 0.9
+    assert np.median(np.abs(ortho[textured] - tex[textured])) < 6.0
+    assert timings["total"] >= timings["stereo"] + timings["dsm"]
+
+
+@pytest.mark.skipif(load_native() is None,
+                    reason="native baseline library not built")
+def test_cpu_pipeline_agrees_with_jax_pipeline():
+    from aerial_mapper_tpu.pipeline.batch import run_ortho_backward_grid
+
+    ds = make_dataset()
+    cfg = pipeline_config()
+    layers, geom = run_ortho_backward_grid(ds, cfg)
+    ortho_jax = np.asarray(layers["ortho"])
+
+    quats, trans = ds.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats])
+    _elev, ortho_cpu, _t = run_reference_pipeline_cpu(
+        CAM.K, Rs, trans, np.stack(ds.images), geom,
+        use_every_nth=1, num_disparities=48,
+        radius_sq=cfg.dsm.interpolation_radius_sq,
+    )
+    both = (ortho_jax != 255.0) & (ortho_cpu != 255.0)
+    assert both.mean() > 0.8
+    # independent matchers (cv2.StereoBM vs our cost volume) -> small DSM
+    # differences; the textured mosaics must still agree closely
+    agree = np.abs(ortho_jax[both] - ortho_cpu[both]) < 4.0
+    assert agree.mean() > 0.9
