@@ -99,6 +99,9 @@ class DsmConfig:
     center_northing: float = 0.0
     # Max points binned per source cell for the dense neighborhood gather.
     bin_capacity: int = 8
+    # "xla" (portable default) or "pallas" (fused VMEM-resident window
+    # kernel, dsm/pallas_idw.py — opt-in; see ortho score_kernel note).
+    idw_kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -166,6 +166,27 @@ def _window_halfwidth(max_radius_sq: float, resolution: float) -> int:
     return max(1, int(math.ceil(r_max / resolution)) + 1)
 
 
+def _circular_offsets(hw: int, resolution: float, r2_cap: float):
+    """Static (oi, oj) window offsets whose cells can contain an in-radius
+    point: a point binned to cell offset (di, dj) sits at least
+    max(|di|-0.5, 0) / max(|dj|-0.5, 0) cells from the query center per
+    axis, so offsets beyond that bound can never pass the strict in_r test
+    nor move the adaptive ladder's outcome (see binned_idw)."""
+    win = 2 * hw + 1
+
+    def min_d2(di: int, dj: int) -> float:
+        ee = max(abs(dj) - 0.5, 0.0) * resolution
+        nn = max(abs(di) - 0.5, 0.0) * resolution
+        return ee * ee + nn * nn
+
+    return [
+        (oi, oj)
+        for oi in range(win)
+        for oj in range(win)
+        if min_d2(oi - hw, oj - hw) <= r2_cap * (1.0 + 1e-6)
+    ]
+
+
 @partial(
     jax.jit,
     static_argnames=("geom", "radius_sq", "adaptive", "growth", "max_radius_sq"),
@@ -188,26 +209,11 @@ def binned_idw(
     dtype = binned.de.dtype
     r2_cap = max_radius_sq if adaptive else radius_sq
     hw = _window_halfwidth(r2_cap, geom.resolution)
-    win = 2 * hw + 1
 
-    # Static circular offset mask: a point binned to cell offset (di, dj)
-    # sits at least max(|di|-0.5, 0) / max(|dj|-0.5, 0) cells from the query
-    # center per axis, so offsets whose minimum possible squared distance
-    # exceeds the radius cap can never contain an in-radius point (the
-    # in_r test is strict <) nor a nearest point that affects the adaptive
-    # ladder's outcome. Skipping them statically cuts the square window to
-    # its inscribed disk (~2x fewer iterations at large radius/resolution).
-    def _min_d2(di: int, dj: int) -> float:
-        ee = max(abs(dj) - 0.5, 0.0) * geom.resolution
-        nn = max(abs(di) - 0.5, 0.0) * geom.resolution
-        return ee * ee + nn * nn
-
-    offsets = [
-        (oi, oj)
-        for oi in range(win)
-        for oj in range(win)
-        if _min_d2(oi - hw, oj - hw) <= r2_cap * (1.0 + 1e-6)
-    ]
+    # Static circular offset mask (~2x fewer iterations than the square
+    # window at large radius/resolution); exactness argument at
+    # _circular_offsets.
+    offsets = _circular_offsets(hw, geom.resolution, r2_cap)
     offs_arr = jnp.asarray(offsets, jnp.int32)  # [M, 2]
     num_offsets = len(offsets)
 
@@ -307,6 +313,7 @@ def idw_to_grid(
     adaptive: bool,
     growth: float,
     max_radius_sq: float,
+    kernel: str = "xla",
 ):
     """Bin + IDW onto ``geom``'s grid, halo-extended so points just outside
     the map still contribute to edge cells.
@@ -326,10 +333,23 @@ def idw_to_grid(
         north=geom.north + halo * geom.resolution,
         west=geom.west - halo * geom.resolution,
     )
-    values, hit = binned_idw(
-        binned, ext_geom, radius_sq=radius_sq, adaptive=adaptive,
-        growth=growth, max_radius_sq=max_radius_sq,
-    )
+    if kernel == "pallas":
+        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
+
+        values, hit = binned_idw_pallas(
+            binned, ext_geom, radius_sq=radius_sq, adaptive=adaptive,
+            growth=growth, max_radius_sq=max_radius_sq,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif kernel == "xla":
+        values, hit = binned_idw(
+            binned, ext_geom, radius_sq=radius_sq, adaptive=adaptive,
+            growth=growth, max_radius_sq=max_radius_sq,
+        )
+    else:
+        raise ValueError(
+            f"idw kernel must be 'xla' or 'pallas', got {kernel!r}"
+        )
     crop = (slice(halo, halo + geom.height), slice(halo, halo + geom.width))
     return values[crop], hit[crop]
 
@@ -354,6 +374,7 @@ def update_elevation_layer(
         adaptive=cfg.adaptive_interpolation,
         growth=cfg.adaptive_growth_factor,
         max_radius_sq=cfg.max_radius_sq,
+        kernel=cfg.idw_kernel,
     )
     old = map_layers["elevation"]
     new = dict(map_layers)
