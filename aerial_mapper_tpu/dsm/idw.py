@@ -5,8 +5,9 @@ TPU-native replacement for the reference's kd-tree radius-search IDW
 ``aerial_mapper_ortho/src/ortho-from-pcl.cc:27-107``). Instead of a pointer-
 chasing nanoflann tree we:
 
-1. **bin** points into their owning map cell with a sort + segment-rank
-   scatter (capacity K slots per cell, deterministic first-K policy), and
+1. **bin** points into their owning map cell with a stable multi-operand
+   sort + segment-boundary gather (capacity K slots per cell, deterministic
+   first-K policy), and
 2. **gather** per query cell over a fixed (2*hw+1)^2 cell window around it,
    accumulating the IDW sums with the exact per-point distances.
 
@@ -62,21 +63,6 @@ class BinnedPoints(NamedTuple):
     count: jax.Array
 
 
-def _segment_rank(sorted_ids: jax.Array) -> jax.Array:
-    """Rank of each element within its run of equal values (ids sorted)."""
-    n = sorted_ids.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_ids[1:] != sorted_ids[:-1]]
-    )
-    start_idx = jnp.where(is_start, idx, 0)
-    # lax.cummax is a dedicated primitive; the generic associative_scan
-    # lowers to a slice/concat recursion whose XLA compile time grows
-    # linearly with n (55 s at 1M elements on TPU)
-    seg_start = jax.lax.cummax(start_idx, axis=0)
-    return idx - seg_start
-
-
 @partial(jax.jit, static_argnames=("geom", "capacity"))
 def bin_points(
     points_xy: jax.Array,
@@ -123,29 +109,26 @@ def bin_points(
     cn = north_edge - (rowi.astype(points_xy.dtype) + 0.5) * geom.resolution
 
     # Multi-operand sort carries the payloads with the keys: one sort pass
-    # instead of argsort + four 12M-index gathers (measured 895 -> 323 ms
-    # for 12.6M points on a v5e).
+    # instead of argsort + four 12M-index gathers. Slot (cell, rank) then
+    # lives at sorted position bounds[cell] + rank, so the [H, W, K] layout
+    # is three 1.4M-index GATHERS from the sorted arrays instead of three
+    # 12M-element scatters (binning measured 895 -> 323 -> 155 ms for
+    # 12.6M points on a v5e across these two steps). The stable sort keeps
+    # the deterministic first-K capacity policy bit-for-bit.
     sorted_ids, de_all, dn_all, payload_sorted = jax.lax.sort(
         (cell_id, points_xy[:, 0] - ce, points_xy[:, 1] - cn, payload),
         num_keys=1,
     )
-    rank = _segment_rank(sorted_ids)
-
-    keep = (sorted_ids < h * w) & (rank < k)
-    flat_idx = jnp.where(keep, sorted_ids * k + rank, h * w * k)
-
-    de = jnp.full((h * w * k,), _FAR, points_xy.dtype)
-    dn = jnp.full((h * w * k,), _FAR, points_xy.dtype)
-    pl = jnp.zeros((h * w * k,), payload.dtype)
-    de = de.at[flat_idx].set(de_all, mode="drop")
-    dn = dn.at[flat_idx].set(dn_all, mode="drop")
-    pl = pl.at[flat_idx].set(payload_sorted, mode="drop")
-
-    # per-cell counts from the sorted ids (segment boundaries) — cheaper
-    # than a 12M-element scatter-add
     bounds = jnp.searchsorted(
         sorted_ids, jnp.arange(h * w + 1, dtype=sorted_ids.dtype)
     )
+    pos = bounds[:-1, None] + jnp.arange(k, dtype=bounds.dtype)[None]
+    slot_ok = (pos < bounds[1:, None]).reshape(-1)  # rank < count[cell]
+    posc = jnp.minimum(pos, sorted_ids.shape[0] - 1).reshape(-1)
+    de = jnp.where(slot_ok, de_all[posc], _FAR)
+    dn = jnp.where(slot_ok, dn_all[posc], _FAR)
+    pl = jnp.where(slot_ok, payload_sorted[posc],
+                   jnp.zeros((), payload.dtype))
     count = jnp.diff(bounds).astype(jnp.int32)
 
     return BinnedPoints(
