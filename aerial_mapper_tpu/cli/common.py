@@ -64,6 +64,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="accepted for reference flagfile compatibility")
     p.add_argument("--v", type=int, default=0,
                    help="verbosity (reference flagfile compatibility)")
+    p.add_argument("--profile_dir", default=None,
+                   help="Capture a jax.profiler trace of the whole run "
+                        "into this directory (view with TensorBoard / "
+                        "xprof). Replaces the reference's VLOG wall-clock "
+                        "deltas (SURVEY.md §5 tracing).")
     return p
 
 
@@ -97,7 +102,35 @@ def parse(p: argparse.ArgumentParser, argv: Optional[List[str]] = None):
         level=logging.DEBUG if args.v and args.v > 0 else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    if getattr(args, "profile_dir", None):
+        _start_profiler(args.profile_dir)
     return args
+
+
+def _start_profiler(profile_dir: str) -> None:
+    """Start a whole-run jax.profiler trace, stopped at interpreter exit."""
+    import atexit
+
+    import jax
+
+    try:
+        jax.profiler.start_trace(profile_dir)
+    except Exception as e:  # noqa: BLE001 — profiling is best-effort
+        logging.getLogger("aerial_mapper_tpu").warning(
+            "profiler unavailable: %s: %s", type(e).__name__, e
+        )
+        return
+
+    def _stop():
+        try:
+            jax.profiler.stop_trace()
+            logging.getLogger("aerial_mapper_tpu").info(
+                "profiler trace written to %s", profile_dir
+            )
+        except Exception:  # noqa: BLE001
+            pass
+
+    atexit.register(_stop)
 
 
 def dataset_from_args(args) -> Dataset:
