@@ -30,17 +30,32 @@ from aerial_mapper_tpu.pipeline.dataset import Dataset, load_dataset
 
 
 def expand_flagfiles(argv: List[str]) -> List[str]:
-    """Inline ``--flagfile=path`` arguments (gflags-style)."""
+    """Inline ``--flagfile=path`` arguments (gflags-style).
+
+    Also translates gflags boolean syntax, which argparse store_true flags
+    cannot parse: ``--flag=true`` becomes ``--flag`` and ``--flag=false``
+    is dropped — so the reference's .ff files (e.g.
+    ``--alsologtostderr=true``) work verbatim.
+    """
     out: List[str] = []
+
+    def push(arg: str) -> None:
+        if arg.endswith("=true"):
+            out.append(arg[: -len("=true")])
+        elif arg.endswith("=false"):
+            pass
+        else:
+            out.append(arg)
+
     for arg in argv:
         if arg.startswith("--flagfile="):
             with open(arg.split("=", 1)[1]) as f:
                 for line in f:
                     line = line.strip()
                     if line and not line.startswith("#"):
-                        out.append(line)
+                        push(line)
         else:
-            out.append(arg)
+            push(arg)
     return out
 
 

@@ -179,3 +179,31 @@ def test_cli_google_maps_offline(tmp_path):
         ["--center_easting", "465000", "--center_northing", "5272000",
          "--utm_zone", "32",
          "--output", str(tmp_path / "tile.png")])
+
+
+def test_cli_reference_flagfile_compatibility(dataset_dir, tmp_path):
+    """The reference's .ff files translate verbatim: gflags booleans
+    (--alsologtostderr=true), --flagfile indirection, shared flag names
+    (flags/0-synthetic-cadastre-dsm.ff layout)."""
+    ff = tmp_path / "cadastre-dsm.ff"
+    ff.write_text(
+        "--alsologtostderr=true\n"
+        "--v=0\n"
+        f"--data_directory={dataset_dir}\n"
+        "--filename_camera_rig=camera_fixed_wing.yaml\n"
+        "--filename_poses=opt_poses.txt\n"
+        "--prefix_images=image_\n"
+        "--center_easting=12.0\n"
+        "--center_northing=0.0\n"
+        "--delta_easting=30.0\n"
+        "--delta_northing=24.0\n"
+        "--resolution=1.0\n"
+    )
+    tif = str(tmp_path / "dsm_ff.tif")
+    main_dsm.main([f"--flagfile={ff}",
+                   "--dense_pcl_use_every_nth_image", "1",
+                   "--num_disparities", "16",
+                   "--output_geotiff", tif])
+    band, _geo, _epsg = read_geotiff(tif)
+    assert band.shape == (24, 30)
+    assert np.isfinite(band).mean() > 0.3
