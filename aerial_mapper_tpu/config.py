@@ -174,8 +174,14 @@ class BundleAdjustmentConfig:
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
-    """End-to-end pipeline composition."""
+    """End-to-end pipeline composition.
 
+    ``auto_shard``: when more than one device is visible, the batch drivers
+    row-band-shard the DSM/ortho rasters over a ``tiles`` mesh of all local
+    devices (parallel/sharded.py; numerically identical to single-device).
+    """
+
+    auto_shard: bool = True
     grid: GridMapConfig = GridMapConfig()
     stereo: StereoConfig = StereoConfig()
     bm: BlockMatchingConfig = BlockMatchingConfig()

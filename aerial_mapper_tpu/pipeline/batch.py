@@ -96,6 +96,27 @@ def run_dense_pcl(
     return points, intens, valid
 
 
+def _auto_mesh(geom: MapGeometry, cfg: PipelineConfig):
+    """Row-band ``tiles`` mesh over local devices, or None on one device.
+
+    Uses the largest tile count <= len(devices) that divides the map
+    height (band sharding needs equal rows per device).
+    """
+    if not cfg.auto_shard:
+        return None
+    import jax
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    for t in range(len(devices), 1, -1):
+        if geom.height % t == 0:
+            from aerial_mapper_tpu.parallel.mesh import make_mesh
+
+            return make_mesh(("tiles",), shape=(t,), devices=devices[:t])
+    return None
+
+
 def _resolve_cloud(dataset, cfg, timer, point_cloud=None):
     if point_cloud is not None:
         points, intens = point_cloud
@@ -124,8 +145,24 @@ def run_dsm(
     points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
 
     layers = dict(create_map_state(geom).layers)
+    mesh = _auto_mesh(geom, cfg)
     with timer.stage("dsm", work_items=geom.height * geom.width / 1e6):
-        layers = update_elevation_layer(layers, points, valid, geom, cfg.dsm)
+        if mesh is not None:
+            from aerial_mapper_tpu.parallel.sharded import (
+                shard_layers,
+                sharded_dsm_update,
+            )
+
+            layers = shard_layers(layers, mesh, "tiles")
+            layers["elevation"] = sharded_dsm_update(
+                layers["elevation"], points, valid, geom, cfg.dsm, mesh
+            )
+            logger.info("dsm: row-band sharded over %d devices",
+                        mesh.shape["tiles"])
+        else:
+            layers = update_elevation_layer(
+                layers, points, valid, geom, cfg.dsm
+            )
     if output_layers_npz:
         save_layers(output_layers_npz,
                     {k: np.asarray(v) for k, v in layers.items()}, geom)
@@ -158,18 +195,35 @@ def run_ortho_backward_grid(
 
     quats_c, trans_c = dataset.camera_poses()
     images = jnp.stack([jnp.asarray(im, jnp.float32) for im in dataset.images])
+    mesh = _auto_mesh(geom, cfg)
     with timer.stage(
         "ortho_backward", work_items=geom.height * geom.width / 1e6
     ):
-        layers = backward_grid_update(
-            layers,
-            jnp.asarray(quats_c, jnp.float32),
-            jnp.asarray(trans_c, jnp.float32),
-            images,
-            geom,
-            dataset.rig.camera,
-            cfg.ortho_backward,
-        )
+        if mesh is not None:
+            from aerial_mapper_tpu.parallel.sharded import (
+                shard_layers,
+                sharded_backward_grid_update,
+            )
+
+            layers = shard_layers(layers, mesh, "tiles")
+            layers = sharded_backward_grid_update(
+                layers,
+                jnp.asarray(quats_c, jnp.float32),
+                jnp.asarray(trans_c, jnp.float32),
+                images, geom, dataset.rig.camera, cfg.ortho_backward, mesh,
+            )
+            logger.info("ortho: row-band sharded over %d devices",
+                        mesh.shape["tiles"])
+        else:
+            layers = backward_grid_update(
+                layers,
+                jnp.asarray(quats_c, jnp.float32),
+                jnp.asarray(trans_c, jnp.float32),
+                images,
+                geom,
+                dataset.rig.camera,
+                cfg.ortho_backward,
+            )
     target = "colored_ortho" if cfg.ortho_backward.colored_ortho else "ortho"
     ortho = np.asarray(layers[target])
     if output_layers_npz:

@@ -161,3 +161,32 @@ def test_sharded_map_step_runs_and_is_consistent():
     covered = np.isfinite(elev)
     assert abs(np.nanmean(elev) - 414.0) < 5.0
     assert (ortho[covered] != 255.0).mean() > 0.5
+
+
+def test_batch_driver_auto_shard_matches_single_device():
+    """run_dsm/run_ortho_backward_grid auto-shard over the virtual mesh and
+    must produce the same rasters as the forced single-device path."""
+    import dataclasses
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_end_to_end import make_dataset, pipeline_config
+
+    from aerial_mapper_tpu.pipeline.batch import run_ortho_backward_grid
+
+    dataset = make_dataset(n=6)
+    cfg = pipeline_config()
+    layers_sh, _ = run_ortho_backward_grid(dataset, cfg)  # auto_shard=True
+    layers_single, _ = run_ortho_backward_grid(
+        dataset, dataclasses.replace(cfg, auto_shard=False)
+    )
+    for name in ("elevation", "ortho", "elevation_angle",
+                 "observation_index"):
+        a = np.asarray(layers_sh[name])
+        b = np.asarray(layers_single[name])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=name,
+        )
