@@ -8,6 +8,38 @@ flags/1-real-rafz-ortho-from-homography.ff).
 from aerial_mapper_tpu.cli import common
 
 
+def _translate_reference_flags(argv):
+    """Make the reference's rafz flagfile work verbatim
+    (flags/1-real-rafz-ortho-from-homography.ff): strip the
+    ``forward_homography_`` flag prefix and fold the three
+    ``origin_{easting,northing,elevation}_m`` flags into
+    ``--mosaic_origin E N ALT`` — in the reference, ``settings_.origin`` is
+    the MOSAIC frame origin subtracted from ground intersections
+    (ortho-forward-homography.cc:95-101), not a pose offset.
+    """
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    argv = common.expand_flagfiles(argv)
+    argv = [a.replace("--forward_homography_", "--") for a in argv]
+    origin = {}
+    out = []
+    for a in argv:
+        matched = False
+        for axis in ("easting", "northing", "elevation"):
+            key = f"--origin_{axis}_m"
+            if a.startswith(key + "="):
+                origin[axis] = a.split("=", 1)[1]
+                matched = True
+        if not matched:
+            out.append(a)
+    if origin:
+        out += ["--mosaic_origin", origin.get("easting", "0"),
+                origin.get("northing", "0"), origin.get("elevation", "0")]
+    return out
+
+
 def main(argv=None):
     p = common.base_parser(__doc__)
     p.add_argument("--ground_plane_elevation_m", type=float, default=414.0)
@@ -19,7 +51,7 @@ def main(argv=None):
     p.add_argument("--batch", action="store_true", default=True)
     p.add_argument("--filename_mosaic_output", default="/tmp/mosaic.jpg")
     p.add_argument("--output_geotiff", default=None)
-    args = common.parse(p, argv)
+    args = common.parse(p, _translate_reference_flags(argv))
 
     from aerial_mapper_tpu.pipeline.batch import run_ortho_forward_homography
 

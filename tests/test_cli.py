@@ -207,3 +207,30 @@ def test_cli_reference_flagfile_compatibility(dataset_dir, tmp_path):
     band, _geo, _epsg = read_geotiff(tif)
     assert band.shape == (24, 30)
     assert np.isfinite(band).mean() > 0.3
+
+
+def test_cli_rafz_homography_flagfile_compatibility(dataset_dir, tmp_path):
+    """The rafz demo's prefixed flags (forward_homography_*) and split
+    mosaic-origin flags translate verbatim
+    (flags/1-real-rafz-ortho-from-homography.ff layout)."""
+    ff = tmp_path / "rafz.ff"
+    ff.write_text(
+        "--alsologtostderr=true\n"
+        "--v=0\n"
+        f"--forward_homography_data_directory={dataset_dir}\n"
+        "--forward_homography_filename_poses=opt_poses.txt\n"
+        "--forward_homography_prefix_images=image_\n"
+        "--forward_homography_filename_camera_rig=camera_fixed_wing.yaml\n"
+        "--forward_homography_origin_easting_m=-3.0\n"
+        "--forward_homography_origin_northing_m=12.0\n"
+        "--forward_homography_origin_elevation_m=414.0\n"
+    )
+    jpg = str(tmp_path / "rafz_mosaic.jpg")
+    main_ortho_forward_homography.main(
+        [f"--flagfile={ff}",
+         "--ground_plane_elevation_m", "414",
+         "--width_mosaic_pixels", "40", "--height_mosaic_pixels", "32",
+         "--filename_mosaic_output", jpg])
+    img = load_images_by_names(os.path.dirname(jpg),
+                               [os.path.basename(jpg)])[0]
+    assert (img > 0).mean() > 0.3
