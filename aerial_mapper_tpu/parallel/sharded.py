@@ -21,6 +21,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aerial_mapper_tpu.camera.models import Camera
@@ -251,6 +252,37 @@ def sharded_map_step(
 
 
 def shard_layers(layers: dict, mesh: Mesh, axis_name: str = "tiles") -> dict:
-    """Place a layer dict with row-band sharding on the mesh."""
+    """Place a layer dict with row-band sharding on the mesh.
+
+    Single-process path uses ``device_put``. Multi-process meshes must go
+    through ``host_local_array_to_global_array``: cross-process
+    ``device_put`` asserts value equality with ``==``, which NaN-initialized
+    layers (elevation) can never satisfy (NaN != NaN).
+    """
     sharding = NamedSharding(mesh, P(axis_name, None))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        n_tiles = mesh.shape[axis_name]
+
+        def to_global(v):
+            # slice out this process's rows from the (host-replicated)
+            # full raster, then assemble the global array
+            full = np.asarray(v)
+            band = full.shape[0] // n_tiles
+            locs = [
+                d for d in mesh.devices.ravel()
+                if d.process_index == jax.process_index()
+            ]
+            tile_ids = sorted(
+                int(np.where(mesh.devices.ravel() == d)[0][0]) for d in locs
+            )
+            local = np.concatenate(
+                [full[t * band:(t + 1) * band] for t in tile_ids]
+            )
+            return multihost_utils.host_local_array_to_global_array(
+                local, mesh, P(axis_name, None)
+            )
+
+        return {k: to_global(v) for k, v in layers.items()}
     return {k: jax.device_put(v, sharding) for k, v in layers.items()}
