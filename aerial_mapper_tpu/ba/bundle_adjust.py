@@ -153,7 +153,8 @@ def _segment_sum(data, segment_ids, num_segments):
 
 def _schur_solve(res, jc, jl, w_obs, problem: BAProblem, n_cams, n_lms,
                  damping, fix_first: bool, axis_name=None,
-                 prior_weight=0.0, prior_residual_t=None):
+                 prior_weight=0.0, prior_residual_t=None,
+                 cg_iters: int = _CG_ITERS):
     """One damped GN step via matrix-free Schur complement + CG.
 
     With ``axis_name`` set, observation arrays are device-local shards and
@@ -227,22 +228,33 @@ def _schur_solve(res, jc, jl, w_obs, problem: BAProblem, n_cams, n_lms,
         return gauge(ux - w_mul_landvec(vinv_wtx))
 
     # CG on the reduced camera system (S is SPD with damping)
+    # Block-Jacobi preconditioner: M = U (the damped camera diagonal of S).
+    # Standard for BA reduced camera systems — without it plain CG needs
+    # O(n_cams) iterations on long-strip surveys (ill-conditioned S) and a
+    # fixed iteration budget silently under-converges at scale.
+    U_inv = jnp.linalg.inv(U)  # [N, 6, 6]
+
+    def precond(r):
+        return gauge(jnp.einsum("nij,nj->ni", U_inv, r))
+
     def cg_body(carry, _):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         sp = s_matvec(p)
         denom = jnp.sum(p * sp)
-        alpha = rs / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        alpha = rz / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
         x = x + alpha * p
         r = r - alpha * sp
-        rs_new = jnp.sum(r * r)
-        beta = rs_new / jnp.where(rs < 1e-20, 1e-20, rs)
-        p = r + beta * p
-        return (x, r, p, rs_new), None
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
 
     x0 = jnp.zeros_like(b_schur)
+    z0 = precond(b_schur)
     (x_c, _, _, _), _ = jax.lax.scan(
-        cg_body, (x0, b_schur, b_schur, jnp.sum(b_schur * b_schur)),
-        None, length=_CG_ITERS,
+        cg_body, (x0, b_schur, z0, jnp.sum(b_schur * z0)),
+        None, length=cg_iters,
     )
     x_c = gauge(x_c)
 
@@ -301,6 +313,7 @@ def _bundle_adjust_impl(
             axis_name=axis_name,
             prior_weight=prior_weight,
             prior_residual_t=st.trans - trans_init,
+            cg_iters=cfg.cg_iterations,
         )
         q2, t2 = _apply_cam_delta(st.quats, st.trans, dx_c)
         cand = BAState(quats=q2, trans=t2, landmarks=st.landmarks + dx_l)

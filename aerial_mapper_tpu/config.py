@@ -162,6 +162,10 @@ class BundleAdjustmentConfig:
     """
 
     max_iterations: int = 10
+    # PCG iterations on the reduced camera system per LM step
+    # (block-Jacobi preconditioned; 40 suffices to ~machine tolerance for
+    # hundreds of cameras).
+    cg_iterations: int = 40
     damping_init: float = 1e-4
     damping_factor: float = 10.0
     huber_delta: float = 2.0
