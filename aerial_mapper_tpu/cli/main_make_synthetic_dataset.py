@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("--base_elevation", type=float, default=414.0)
     p.add_argument("--pose_jitter", type=float, default=0.0)
     p.add_argument("--with_distortion", action="store_true")
+    p.add_argument("--color", action="store_true",
+                   help="Render RGB images (analytic hue tint).")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -81,6 +83,7 @@ def main(argv=None):
             scene, cam, jnp.asarray(R, jnp.float32),
             jnp.asarray(t, jnp.float32),
             apply_distortion=args.with_distortion,
+            color=args.color,
         )
         save_image(os.path.join(args.output_directory, f"image_{i}.jpg"),
                    np.asarray(img))

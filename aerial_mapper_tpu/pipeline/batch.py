@@ -224,8 +224,15 @@ def run_ortho_backward_grid(
                 dataset.rig.camera,
                 cfg.ortho_backward,
             )
-    target = "colored_ortho" if cfg.ortho_backward.colored_ortho else "ortho"
-    ortho = np.asarray(layers[target])
+    if cfg.ortho_backward.colored_ortho:
+        # colored_ortho packs RGB into float bits (grid_map's
+        # colorVectorToValue convention); unpack for image/GeoTiff export
+        from aerial_mapper_tpu.image.color import unpack_float_to_rgb
+
+        rgb01 = np.asarray(unpack_float_to_rgb(layers["colored_ortho"]))
+        ortho = np.round(rgb01 * 255.0).astype(np.uint8)  # [H, W, 3]
+    else:
+        ortho = np.asarray(layers["ortho"])
     if output_layers_npz:
         save_layers(output_layers_npz,
                     {k: np.asarray(v) for k, v in layers.items()}, geom)

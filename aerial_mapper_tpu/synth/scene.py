@@ -58,16 +58,30 @@ class SyntheticScene:
             0.04 * 3.1415 * n))
         return 127.5 + 127.5 * jnp.clip(0.75 * v + fields, -1.0, 1.0) * 0.9
 
+    def texture_rgb(self, e, n):
+        """[..., 3] RGB in [0, 255]: the gray texture tinted by a smooth
+        field-dependent hue, so color carries independent information
+        (G/B differ from R by analytic, testable factors)."""
+        t = self.texture(e, n)
+        hue = 0.5 + 0.5 * jnp.sin(0.013 * e + 0.7) * jnp.cos(0.011 * n)
+        r = t
+        g = t * (0.55 + 0.35 * hue)
+        b = t * (0.90 - 0.50 * hue)
+        return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0)
 
-@partial(jax.jit, static_argnames=("scene", "cam", "apply_distortion"))
+
+@partial(jax.jit, static_argnames=("scene", "cam", "apply_distortion",
+                                   "color"))
 def render_image(
     scene: SyntheticScene,
     cam: Camera,
     R_G_C: jax.Array,  # [3, 3] camera-to-world rotation (columns = axes)
     t_G_C: jax.Array,  # [3] camera position (origin-subtracted world frame)
     apply_distortion: bool = False,
+    color: bool = False,
 ) -> jax.Array:
-    """Render one [H, W] grayscale image by heightfield ray casting.
+    """Render one [H, W] grayscale ([H, W, 3] RGB with ``color``) image by
+    heightfield ray casting.
 
     When ``apply_distortion`` the output is what a *distorted* lens would
     capture (so the undistortion path can be exercised).
@@ -104,6 +118,9 @@ def render_image(
 
     e = o[0] + s * d_world[..., 0]
     n = o[1] + s * d_world[..., 1]
+    if color:
+        img = scene.texture_rgb(e, n)
+        return jnp.where(s[..., None] > 0, img, 0.0)
     img = scene.texture(e, n)
     # rays that never hit (looking up) -> 0
     return jnp.where(s > 0, img, 0.0)

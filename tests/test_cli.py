@@ -234,3 +234,38 @@ def test_cli_rafz_homography_flagfile_compatibility(dataset_dir, tmp_path):
     img = load_images_by_names(os.path.dirname(jpg),
                                [os.path.basename(jpg)])[0]
     assert (img > 0).mean() > 0.3
+
+
+def test_cli_colored_ortho_end_to_end(tmp_path):
+    """Colored dataset -> colored backward-grid ortho: the exported RGB
+    must match the scene's analytic texture_rgb at the cell centers."""
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.synth.scene import SyntheticScene
+    from aerial_mapper_tpu.mapgrid import MapGeometry, cell_centers
+
+    d = str(tmp_path / "color_ds")
+    main_make_synthetic_dataset.main([
+        "--output_directory", d, "--num_images", "6",
+        "--image_width", "96", "--image_height", "64",
+        "--focal_length", "96", "--altitude", "454", "--spacing", "5",
+        "--color",
+    ])
+    tif = str(tmp_path / "ortho_color.tif")
+    main_ortho_backward_grid.main(
+        ["--data_directory", d, "--load_colored_images",
+         "--colored_ortho"] + GRID + STEREO
+        + ["--output_geotiff", tif])
+    rgb, _geo, _epsg = read_geotiff(tif)
+    assert rgb.ndim == 3 and rgb.shape[2] == 3
+    geom = MapGeometry(12.0, 0.0, 1.0, 24, 30)
+    ce, cn = cell_centers(geom)
+    truth = np.asarray(
+        SyntheticScene(base_elevation=414.0,
+                       relief_amplitude=6.0).texture_rgb(ce, cn)
+    )
+    observed = rgb.sum(axis=2) > 0
+    assert observed.mean() > 0.3
+    err = np.abs(rgb[observed].astype(np.float32) - truth[observed])
+    # JPEG compression of the input images + nearest-texel fetch
+    assert np.median(err) < 12.0, np.median(err)
