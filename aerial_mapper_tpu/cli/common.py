@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import re
 import sys
 from typing import List, Optional
 
@@ -29,21 +30,26 @@ from aerial_mapper_tpu.io.poses import PoseFormat
 from aerial_mapper_tpu.pipeline.dataset import Dataset, load_dataset
 
 
+_GFLAGS_BOOL = re.compile(r"^--([A-Za-z0-9_]+)=(true|false)$")
+
+
 def expand_flagfiles(argv: List[str]) -> List[str]:
     """Inline ``--flagfile=path`` arguments (gflags-style).
 
-    Also translates gflags boolean syntax, which argparse store_true flags
-    cannot parse: ``--flag=true`` becomes ``--flag`` and ``--flag=false``
-    is dropped — so the reference's .ff files (e.g.
-    ``--alsologtostderr=true``) work verbatim.
+    Also translates gflags boolean syntax, which argparse boolean flags
+    spell differently: exactly ``--flag=true`` becomes ``--flag`` and
+    exactly ``--flag=false`` becomes ``--no-flag`` (the
+    ``BooleanOptionalAction`` negation) — so the reference's .ff files
+    (e.g. ``--alsologtostderr=true``, ``--use_BM=false``) work verbatim.
+    Arguments whose value merely *contains* true/false are untouched.
     """
     out: List[str] = []
 
     def push(arg: str) -> None:
-        if arg.endswith("=true"):
-            out.append(arg[: -len("=true")])
-        elif arg.endswith("=false"):
-            pass
+        m = _GFLAGS_BOOL.match(arg)
+        if m:
+            name, value = m.groups()
+            out.append(f"--{name}" if value == "true" else f"--no-{name}")
         else:
             out.append(arg)
 
@@ -69,13 +75,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--pose_format", default="standard",
                    choices=[f.value for f in PoseFormat])
     p.add_argument("--image_extension", default=".jpg")
-    p.add_argument("--load_colored_images", action="store_true")
+    p.add_argument("--load_colored_images", action=argparse.BooleanOptionalAction)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--origin", type=float, nargs=3, default=None,
                    metavar=("E", "N", "ALT"),
                    help="Origin subtracted from poses (UTM meters).")
     p.add_argument("--utm_zone", type=int, default=32)
-    p.add_argument("--alsologtostderr", action="store_true", default=True,
+    p.add_argument("--alsologtostderr", action=argparse.BooleanOptionalAction, default=True,
                    help="accepted for reference flagfile compatibility")
     p.add_argument("--v", type=int, default=0,
                    help="verbosity (reference flagfile compatibility)")
@@ -97,16 +103,16 @@ def add_grid_flags(p: argparse.ArgumentParser):
 
 def add_stereo_flags(p: argparse.ArgumentParser):
     p.add_argument("--dense_pcl_use_every_nth_image", type=int, default=10)
-    p.add_argument("--use_BM", action="store_true", default=True)
+    p.add_argument("--use_BM", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_SGM", dest="use_BM", action="store_false")
     p.add_argument("--num_disparities", type=int, default=80)
-    p.add_argument("--images_need_undistortion", action="store_true")
+    p.add_argument("--images_need_undistortion", action=argparse.BooleanOptionalAction)
 
 
 def add_dsm_flags(p: argparse.ArgumentParser):
     p.add_argument("--interpolation_radius", type=float, default=1.0,
                    help="nanoflann-compatible squared-distance radius (m^2)")
-    p.add_argument("--adaptive_interpolation", action="store_true",
+    p.add_argument("--adaptive_interpolation", action=argparse.BooleanOptionalAction,
                    default=True)
 
 

@@ -29,8 +29,8 @@ def main(argv=None):
     p.add_argument("--relief_amplitude", type=float, default=6.0)
     p.add_argument("--base_elevation", type=float, default=414.0)
     p.add_argument("--pose_jitter", type=float, default=0.0)
-    p.add_argument("--with_distortion", action="store_true")
-    p.add_argument("--color", action="store_true",
+    p.add_argument("--with_distortion", action=argparse.BooleanOptionalAction)
+    p.add_argument("--color", action=argparse.BooleanOptionalAction,
                    help="Render RGB images (analytic hue tint).")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)

@@ -5,6 +5,8 @@ Mirrors ``aerial_mapper_demos_ortho_backward_grid``
 ``backward_grid_``; both spellings are accepted here.
 """
 
+import argparse
+
 from aerial_mapper_tpu.cli import common
 
 
@@ -14,7 +16,11 @@ def _strip_prefix(argv):
 
         argv = sys.argv[1:]
     argv = common.expand_flagfiles(argv)
-    return [a.replace("--backward_grid_", "--") for a in argv]
+    return [
+        "--" + a[len("--backward_grid_"):]
+        if a.startswith("--backward_grid_") else a
+        for a in argv
+    ]
 
 
 def main(argv=None):
@@ -23,13 +29,13 @@ def main(argv=None):
     common.add_stereo_flags(p)
     common.add_dsm_flags(p)
     p.add_argument("--orthomosaic_elevation_m", type=float, default=0.0)
-    p.add_argument("--use_digital_elevation_map", action="store_true",
+    p.add_argument("--use_digital_elevation_map", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--flat_ground", dest="use_digital_elevation_map",
                    action="store_false")
-    p.add_argument("--colored_ortho", action="store_true")
+    p.add_argument("--colored_ortho", action=argparse.BooleanOptionalAction)
     p.add_argument("--point_cloud_filename", default="")
-    p.add_argument("--load_point_cloud_from_file", action="store_true")
+    p.add_argument("--load_point_cloud_from_file", action=argparse.BooleanOptionalAction)
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho.jpg")
     p.add_argument("--output_geotiff", default="/tmp/ortho.tif")
     p.add_argument("--output_layers_npz", default=None)

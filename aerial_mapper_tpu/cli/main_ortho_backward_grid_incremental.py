@@ -4,6 +4,8 @@ Mirrors ``aerial_mapper_demos_ortho_backward_grid_incremental``
 (main-ortho-backward-grid-incremental.cc:64-170).
 """
 
+import argparse
+
 from aerial_mapper_tpu.cli import common
 from aerial_mapper_tpu.cli.main_ortho_backward_grid import _strip_prefix
 
@@ -14,9 +16,9 @@ def main(argv=None):
     common.add_stereo_flags(p)
     common.add_dsm_flags(p)
     p.add_argument("--orthomosaic_elevation_m", type=float, default=0.0)
-    p.add_argument("--use_digital_elevation_map", action="store_true",
+    p.add_argument("--use_digital_elevation_map", action=argparse.BooleanOptionalAction,
                    default=True)
-    p.add_argument("--colored_ortho", action="store_true")
+    p.add_argument("--colored_ortho", action=argparse.BooleanOptionalAction)
     p.add_argument("--update_every_nth", type=int, default=5,
                    help="Map update cadence in frames.")
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_incr.jpg")

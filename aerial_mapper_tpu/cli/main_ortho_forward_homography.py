@@ -5,6 +5,8 @@ Mirrors ``aerial_mapper_demos_ortho_forward_homography``
 flags/1-real-rafz-ortho-from-homography.ff).
 """
 
+import argparse
+
 from aerial_mapper_tpu.cli import common
 
 
@@ -22,7 +24,11 @@ def _translate_reference_flags(argv):
 
         argv = sys.argv[1:]
     argv = common.expand_flagfiles(argv)
-    argv = [a.replace("--forward_homography_", "--") for a in argv]
+    argv = [
+        "--" + a[len("--forward_homography_"):]
+        if a.startswith("--forward_homography_") else a
+        for a in argv
+    ]
     origin = {}
     out = []
     for a in argv:
@@ -48,7 +54,7 @@ def main(argv=None):
     p.add_argument("--mosaic_resolution", type=float, default=1.0)
     p.add_argument("--mosaic_origin", type=float, nargs=3,
                    default=(0.0, 0.0, 0.0), metavar=("E", "N", "ALT"))
-    p.add_argument("--batch", action="store_true", default=True)
+    p.add_argument("--batch", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--filename_mosaic_output", default="/tmp/mosaic.jpg")
     p.add_argument("--output_geotiff", default=None)
     args = common.parse(p, _translate_reference_flags(argv))

@@ -3,6 +3,8 @@
 Mirrors ``aerial_mapper_demos_ortho_from_pcl`` (main-ortho-from-pcl.cc).
 """
 
+import argparse
+
 from aerial_mapper_tpu.cli import common
 
 
@@ -11,7 +13,7 @@ def main(argv=None):
     common.add_grid_flags(p)
     common.add_stereo_flags(p)
     p.add_argument("--interpolation_radius", type=float, default=2.0)
-    p.add_argument("--adaptive_interpolation", action="store_true")
+    p.add_argument("--adaptive_interpolation", action=argparse.BooleanOptionalAction)
     p.add_argument("--point_cloud_filename", default="")
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_pcl.jpg")
     p.add_argument("--output_geotiff", default=None)

@@ -76,13 +76,25 @@ def _dsm_band_update(elevation_band, points, valid, geom, cfg: DsmConfig,
         points[:, :2], points[:, 2], valid, ext_geom, cfg.bin_capacity,
         north=north_ext, west=west_ext,
     )
-    values, hit = binned_idw(
-        binned, ext_geom,
+    idw_kw = dict(
         radius_sq=cfg.interpolation_radius_sq,
         adaptive=cfg.adaptive_interpolation,
         growth=cfg.adaptive_growth_factor,
         max_radius_sq=cfg.max_radius_sq,
     )
+    if cfg.idw_kernel == "pallas":
+        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
+
+        values, hit = binned_idw_pallas(
+            binned, ext_geom, interpret=jax.default_backend() == "cpu",
+            **idw_kw,
+        )
+    elif cfg.idw_kernel == "xla":
+        values, hit = binned_idw(binned, ext_geom, **idw_kw)
+    else:
+        raise ValueError(
+            f"idw kernel must be 'xla' or 'pallas', got {cfg.idw_kernel!r}"
+        )
     values = values[halo: halo + band_h, halo: halo + geom.width]
     hit = hit[halo: halo + band_h, halo: halo + geom.width]
     return jnp.where(hit, values, elevation_band)

@@ -226,11 +226,15 @@ def run_ortho_backward_grid(
             )
     if cfg.ortho_backward.colored_ortho:
         # colored_ortho packs RGB into float bits (grid_map's
-        # colorVectorToValue convention); unpack for image/GeoTiff export
+        # colorVectorToValue convention); unpack for image/GeoTiff export.
+        # Unobserved cells keep the NaN init — bit-casting that would give
+        # (192, 0, 0); export them white like the grayscale path's 255.
         from aerial_mapper_tpu.image.color import unpack_float_to_rgb
 
+        packed = np.asarray(layers["colored_ortho"])
         rgb01 = np.asarray(unpack_float_to_rgb(layers["colored_ortho"]))
-        ortho = np.round(rgb01 * 255.0).astype(np.uint8)  # [H, W, 3]
+        rgb = np.round(rgb01 * 255.0).astype(np.uint8)  # [H, W, 3]
+        ortho = np.where(np.isnan(packed)[..., None], np.uint8(255), rgb)
     else:
         ortho = np.asarray(layers["ortho"])
     if output_layers_npz:

@@ -36,9 +36,12 @@ _MIN_VALID_DISPARITY = 1.0  # densifier.cpp:60 keeps only d > 1
 
 
 def _triangulate_np(disp, gray_rect, K, baseline, R_G_C_rect, t_G_C1):
-    """Vectorized densifier.cpp:45-73: disparity -> world points."""
+    """Vectorized ``triangulate_reference`` (densifier.cpp:37-107): the same
+    Q-matrix arithmetic as the loop oracle in testing/numpy_ref.py,
+    including the fx/fy ratio on the y term."""
     h, w = disp.shape
-    fx, cx, cy = K[0, 0], K[0, 2], K[1, 2]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
     valid = disp > _MIN_VALID_DISPARITY
     u, v = np.meshgrid(np.arange(w, dtype=np.float64),
                        np.arange(h, dtype=np.float64))
@@ -46,7 +49,7 @@ def _triangulate_np(disp, gray_rect, K, baseline, R_G_C_rect, t_G_C1):
     wq = disp / max(baseline, 1e-12)
     wq = np.where(valid, wq, 1.0)
     x = (u - cx) / wq
-    y = (v - cy) / wq
+    y = ((fx / fy) * v - cy * (fx / fy)) / wq
     z = fx / wq
     p_rect = np.stack([x, y, z], axis=-1).reshape(-1, 3)
     pts = p_rect @ R_G_C_rect + t_G_C1[None, :]  # R^T rows == R_G_C_rect.T.T

@@ -264,8 +264,29 @@ def test_cli_colored_ortho_end_to_end(tmp_path):
         SyntheticScene(base_elevation=414.0,
                        relief_amplitude=6.0).texture_rgb(ce, cn)
     )
-    observed = rgb.sum(axis=2) > 0
+    # unobserved cells export as white (the grayscale path's 255 fill)
+    observed = ~np.all(rgb == 255, axis=2)
     assert observed.mean() > 0.3
     err = np.abs(rgb[observed].astype(np.float32) - truth[observed])
     # JPEG compression of the input images + nearest-texel fetch
     assert np.median(err) < 12.0, np.median(err)
+
+
+def test_gflags_false_negates_default_true_flag(dataset_dir, tmp_path):
+    """--flag=false must actually disable default-true booleans (gflags
+    semantics), e.g. select SGM via --use_BM=false."""
+    from aerial_mapper_tpu.cli import common
+
+    p = common.base_parser("t")
+    common.add_stereo_flags(p)
+    common.add_dsm_flags(p)
+    args = p.parse_args(common.expand_flagfiles(
+        ["--data_directory", dataset_dir, "--use_BM=false",
+         "--adaptive_interpolation=false"]))
+    assert args.use_BM is False
+    assert args.adaptive_interpolation is False
+    # values merely containing the literals are untouched
+    args2 = p.parse_args(common.expand_flagfiles(
+        ["--data_directory", "/tmp/x=false", "--prefix_images", "a=true"]))
+    assert args2.data_directory == "/tmp/x=false"
+    assert args2.prefix_images == "a=true"

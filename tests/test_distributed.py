@@ -67,20 +67,26 @@ def test_two_process_distributed_dsm(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(_WORKER.format(repo=repo))
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), str(pid), str(port)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env,
-        )
-        for pid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=220)[0] for p in procs]
+
+    # picking an ephemeral port then releasing it is racy (another process
+    # can claim it before the coordinator binds) — retry with a fresh port
+    outs = None
+    for _attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=220)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
     assert all(p.returncode == 0 for p in procs), outs
     assert "RANK0_OK" in outs[0], outs[0][-2000:]
