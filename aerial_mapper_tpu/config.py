@@ -62,6 +62,10 @@ class SgmConfig:
     num_directions: int = 4  # 4 or 8 scan directions
     speckle_window_size: int = 100
     speckle_range: float = 20.0
+    # "xla" (portable default) or "pallas" (fused VMEM-resident directional
+    # scans, 4 directions; stereo/pallas_sgm.py — opt-in, see ortho
+    # score_kernel note).
+    kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -115,6 +115,13 @@ def _process_one_pair(op, cam: Camera, matcher: str, bm_cfg, sgm_cfg):
     mask = point_in_quad(u, v, corners)
     if matcher == "bm":
         disp = block_matching_disparity(rect1, rect2, mask, bm_cfg)
+    elif sgm_cfg.kernel == "pallas":
+        from aerial_mapper_tpu.stereo.pallas_sgm import sgm_disparity_pallas
+
+        disp = sgm_disparity_pallas(
+            rect1, rect2, mask, sgm_cfg,
+            interpret=jax.default_backend() == "cpu",
+        )
     else:
         disp = sgm_disparity(rect1, rect2, mask, sgm_cfg)
     return triangulate_disparity(
