@@ -66,6 +66,11 @@ class SgmConfig:
     # scans, 4 directions; stereo/pallas_sgm.py — opt-in, see ortho
     # score_kernel note).
     kernel: str = "xla"
+    # lax.scan unroll factor for the XLA directional scans: each step's work
+    # is a tiny [H, D] carry update, so loop overhead dominates; unrolling
+    # amortizes it (identical numerics for any value). Measured 752x480x64
+    # on v5e: 44.6 ms/pair at 1, 23.6-24.6 ms at 2-5, rising again by 8.
+    scan_unroll: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

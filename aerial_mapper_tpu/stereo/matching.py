@@ -268,7 +268,7 @@ def block_matching_disparity(
 
 
 def _sgm_scan_1d(cost: jax.Array, p1: float, p2: float,
-                 reverse: bool) -> jax.Array:
+                 reverse: bool, unroll: int = 1) -> jax.Array:
     """Aggregate along the last axis of ``cost`` [..., L, D] with the SGM
     recurrence, vectorized over everything but the scan axis."""
     if reverse:
@@ -291,7 +291,7 @@ def _sgm_scan_1d(cost: jax.Array, p1: float, p2: float,
 
     cost_t = jnp.moveaxis(cost, -2, 0)  # [L, ..., D]
     init = cost_t[0]
-    _, agg = jax.lax.scan(step, init, cost_t[1:])
+    _, agg = jax.lax.scan(step, init, cost_t[1:], unroll=unroll)
     agg = jnp.concatenate([init[None], agg], axis=0)
     agg = jnp.moveaxis(agg, 0, -2)
     if reverse:
@@ -325,11 +325,15 @@ def sgm_disparity(
 
     cdhw = jnp.moveaxis(cost, 0, -1)  # [H, W, D]
 
-    agg = _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=False)  # left->right
-    agg = agg + _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=True)  # right->left
+    ur = cfg.scan_unroll
+    agg = _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=False,
+                       unroll=ur)  # left->right
+    agg = agg + _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=True,
+                             unroll=ur)  # right->left
     cthw = jnp.swapaxes(cdhw, 0, 1)  # [W, H, D]
-    agg_v = _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=False)
-    agg_v = agg_v + _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=True)
+    agg_v = _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=False, unroll=ur)
+    agg_v = agg_v + _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=True,
+                                 unroll=ur)
     agg = agg + jnp.swapaxes(agg_v, 0, 1)
 
     if cfg.num_directions >= 8:
@@ -345,9 +349,11 @@ def sgm_disparity(
         for sign in (+1, -1):
             sheared = shear(cdhw, sign)
             a = _sgm_scan_1d(
-                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=False
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=False,
+                unroll=ur,
             ) + _sgm_scan_1d(
-                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=True
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=True,
+                unroll=ur,
             )
             agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
 

@@ -3,7 +3,7 @@
 The XLA SGM path (stereo/matching.py::_sgm_scan_1d) expresses each
 Hirschmuller scan as a ``lax.scan`` whose carry round-trips through HBM every
 step and whose compile time grows with the scan length; at 752x480x64 the
-4-direction aggregation costs ~53 ms/pair. This kernel tiles rows over the
+4-direction aggregation costs ~24 ms/pair (unroll=4). This kernel tiles rows over the
 Pallas grid (scan lines are independent for a horizontal pass), keeps the
 [tile_h, D, W] cost strip and the [tile_h, D] carry resident in VMEM, and
 walks W with ref-level dynamic slices — HBM traffic collapses to one read of
@@ -132,8 +132,8 @@ def sgm_disparity_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Drop-in fused-aggregation alternative to ``sgm_disparity``
-    (4 scan directions; cost build and post-filters shared with the XLA
-    path)."""
+    (4 or 8 scan directions per ``cfg.num_directions``; cost build and
+    post-filters shared with the XLA path)."""
     h, w = left.shape
     lf = _xsobel_prefilter(left.astype(jnp.float32), 63.0)
     rf = _xsobel_prefilter(right.astype(jnp.float32), 63.0)
@@ -154,6 +154,25 @@ def sgm_disparity_pallas(
     agg_v = agg_v + sgm_aggregate_pallas(cthw, cfg.p1, cfg.p2, reverse=True,
                                          **kw)
     agg = agg + jnp.swapaxes(agg_v, 0, 1)
+
+    if cfg.num_directions >= 8:
+        # Diagonals via the same row-shear as the XLA path (matching.py):
+        # shift row i by +/- i columns (mod W) so each diagonal becomes a
+        # column, aggregate vertically with the same kernel, unshear.
+        def shear(x, sign):
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            ) % w
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+        for sign in (+1, -1):
+            swhd = jnp.swapaxes(shear(chwd, sign), 0, 1)  # [W, H, D]
+            a = sgm_aggregate_pallas(swhd, cfg.p1, cfg.p2, reverse=False,
+                                     **kw)
+            a = a + sgm_aggregate_pallas(swhd, cfg.p1, cfg.p2, reverse=True,
+                                         **kw)
+            agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
 
     cost_agg = jnp.moveaxis(agg, -1, 0)  # [D, H, W]
     disp, c0, best = _wta_subpixel(cost_agg, cfg.min_disparity)

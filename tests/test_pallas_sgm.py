@@ -23,7 +23,7 @@ def test_pallas_aggregation_matches_xla_scan():
                                    rtol=1e-6, atol=1e-3)
 
 
-def test_pallas_sgm_disparity_matches_xla():
+def _disparity_case(num_directions):
     # small synthetic rectified pair: textured image shifted by 3 px
     key = jax.random.PRNGKey(1)
     base = jax.random.uniform(key, (48, 96)) * 255.0
@@ -31,7 +31,8 @@ def test_pallas_sgm_disparity_matches_xla():
     right = base
     left = jnp.roll(base, 3, axis=1)
     mask = jnp.ones((48, 96), bool)
-    cfg = SgmConfig(num_disparities=16, block_size=5)
+    cfg = SgmConfig(num_disparities=16, block_size=5,
+                    num_directions=num_directions)
     d_ref = np.asarray(sgm_disparity(left, right, mask, cfg))
     d_pal = np.asarray(sgm_disparity_pallas(left, right, mask, cfg,
                                             tile_h=16, interpret=True))
@@ -41,3 +42,11 @@ def test_pallas_sgm_disparity_matches_xla():
     # the disparity itself must be right where valid
     inner = both[:, 20:-20]
     assert np.median(np.abs(d_ref[:, 20:-20][inner] - 3.0)) < 0.5
+
+
+def test_pallas_sgm_disparity_matches_xla():
+    _disparity_case(4)
+
+
+def test_pallas_sgm_disparity_matches_xla_8dir():
+    _disparity_case(8)
