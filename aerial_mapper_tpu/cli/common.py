@@ -85,6 +85,10 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="accepted for reference flagfile compatibility")
     p.add_argument("--v", type=int, default=0,
                    help="verbosity (reference flagfile compatibility)")
+    p.add_argument("--report_html", default=None,
+                   help="Write a self-contained HTML run report (all map "
+                        "layers rendered, stats, timings, config) to this "
+                        "path. Replaces the reference's rviz topics.")
     p.add_argument("--profile_dir", default=None,
                    help="Capture a jax.profiler trace of the whole run "
                         "into this directory (view with TensorBoard / "

@@ -31,6 +31,7 @@ def main(argv=None):
         dataset, cfg, point_cloud=cloud,
         output_geotiff=args.output_geotiff,
         output_layers_npz=args.output_layers_npz,
+        output_report_html=args.report_html,
         utm_zone=args.utm_zone,
     )
     if args.output_png:

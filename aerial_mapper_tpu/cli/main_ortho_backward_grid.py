@@ -54,6 +54,7 @@ def main(argv=None):
         output_geotiff=args.output_geotiff,
         output_jpg=args.orthomosaic_jpg_filename,
         output_layers_npz=args.output_layers_npz,
+        output_report_html=args.report_html,
         utm_zone=args.utm_zone,
     )
 

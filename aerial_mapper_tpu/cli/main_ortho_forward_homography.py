@@ -67,6 +67,7 @@ def main(argv=None):
         dataset, cfg,
         output_jpg=args.filename_mosaic_output,
         output_geotiff=args.output_geotiff,
+        output_report_html=args.report_html,
         utm_zone=args.utm_zone,
     )
 

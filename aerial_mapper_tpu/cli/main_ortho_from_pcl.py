@@ -33,6 +33,7 @@ def main(argv=None):
         dataset, cfg, point_cloud=cloud,
         output_jpg=args.orthomosaic_jpg_filename,
         output_geotiff=args.output_geotiff,
+        output_report_html=args.report_html,
         utm_zone=args.utm_zone,
     )
 

@@ -133,6 +133,7 @@ def run_dsm(
     point_cloud: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     output_geotiff: Optional[str] = None,
     output_layers_npz: Optional[str] = None,
+    output_report_html: Optional[str] = None,
     utm_zone: int = 32,
 ):
     """DSM demo (main-dsm.cc:46-111): cloud (given or generated) -> elevation
@@ -172,6 +173,15 @@ def run_dsm(
             west=geom.west, north=geom.north, resolution=geom.resolution,
             utm_zone=utm_zone,
         )
+    if output_report_html:
+        from aerial_mapper_tpu.io.report import write_html_report
+        from aerial_mapper_tpu.utils.timing import config_banner
+
+        write_html_report(
+            output_report_html, layers, geom, title="DSM run",
+            config_banner=config_banner("DSM", cfg.dsm),
+            timings=timer.durations,
+        )
     logger.info(timer.report())
     return layers, geom
 
@@ -183,6 +193,7 @@ def run_ortho_backward_grid(
     output_geotiff: Optional[str] = None,
     output_jpg: Optional[str] = None,
     output_layers_npz: Optional[str] = None,
+    output_report_html: Optional[str] = None,
     utm_zone: int = 32,
 ):
     """Batch backward-grid demo (main-ortho-backward-grid.cc:66-145):
@@ -248,6 +259,19 @@ def run_ortho_backward_grid(
             west=geom.west, north=geom.north, resolution=geom.resolution,
             utm_zone=utm_zone,
         )
+    if output_report_html:
+        from aerial_mapper_tpu.io.report import write_html_report
+        from aerial_mapper_tpu.utils.timing import config_banner
+
+        extra = ([("orthomosaic (RGB)", ortho)]
+                 if cfg.ortho_backward.colored_ortho else None)
+        write_html_report(
+            output_report_html, layers, geom,
+            title="Backward-grid orthomosaic run",
+            config_banner=config_banner("Orthomosaic (backward grid)",
+                                        cfg.ortho_backward),
+            timings=timer.durations, extra_images=extra,
+        )
     logger.info(timer.report())
     return layers, geom
 
@@ -257,6 +281,7 @@ def run_ortho_forward_homography(
     cfg: PipelineConfig = PipelineConfig(),
     output_jpg: Optional[str] = None,
     output_geotiff: Optional[str] = None,
+    output_report_html: Optional[str] = None,
     utm_zone: int = 32,
 ):
     """Homography mosaic demo (main-ortho-forward-homography.cc:42-103)."""
@@ -287,6 +312,22 @@ def run_ortho_forward_homography(
             west=west, north=north, resolution=hcfg.resolution,
             utm_zone=utm_zone,
         )
+    if output_report_html:
+        from aerial_mapper_tpu.io.report import write_html_report
+        from aerial_mapper_tpu.utils.timing import config_banner
+
+        geom = MapGeometry(
+            center_easting=hcfg.origin[0], center_northing=hcfg.origin[1],
+            resolution=hcfg.resolution, height=hcfg.height_mosaic_pixels,
+            width=hcfg.width_mosaic_pixels,
+        )
+        write_html_report(
+            output_report_html, {}, geom,
+            title="Forward-homography mosaic run",
+            config_banner=config_banner("Orthomosaic (homography)", hcfg),
+            timings=timer.durations,
+            extra_images=[("mosaic", mosaic)],
+        )
     logger.info(timer.report())
     return mosaic
 
@@ -297,6 +338,7 @@ def run_ortho_from_pcl(
     point_cloud: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     output_jpg: Optional[str] = None,
     output_geotiff: Optional[str] = None,
+    output_report_html: Optional[str] = None,
     utm_zone: int = 32,
 ):
     """Ortho-from-points demo (main-ortho-from-pcl.cc): IDW of intensities."""
@@ -318,6 +360,17 @@ def run_ortho_from_pcl(
             output_geotiff, np.clip(ortho, 0, 255).astype(np.uint8),
             west=geom.west, north=geom.north, resolution=geom.resolution,
             utm_zone=utm_zone,
+        )
+    if output_report_html:
+        from aerial_mapper_tpu.io.report import write_html_report
+        from aerial_mapper_tpu.utils.timing import config_banner
+
+        write_html_report(
+            output_report_html, layers, geom,
+            title="Ortho-from-points run",
+            config_banner=config_banner("Orthomosaic (from points)",
+                                        cfg.ortho_from_pcl),
+            timings=timer.durations,
         )
     logger.info(timer.report())
     return layers, geom

@@ -338,7 +338,13 @@ def sgm_disparity(
 
     if cfg.num_directions >= 8:
         # Diagonal directions via row-shear: shift row i by +/- i columns so
-        # diagonals become columns, scan vertically, unshear.
+        # diagonals become columns, scan vertically, unshear. Deviation from
+        # cv::StereoSGBM: the modular shear wraps a diagonal that exits the
+        # right edge back in on the left, so the DP carry continues across
+        # the border instead of restarting. The stale carry's influence is
+        # bounded (best - m <= p2 at the first wrapped pixel, decaying along
+        # the path) and only touches image-edge columns that the border mask
+        # and post-filters already treat as low-confidence.
         def shear(x, sign):
             idx = (
                 jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

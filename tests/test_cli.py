@@ -66,13 +66,22 @@ def test_cli_dsm(dataset_dir):
 def test_cli_ortho_backward_grid(dataset_dir):
     tif = os.path.join(dataset_dir, "ortho.tif")
     jpg = os.path.join(dataset_dir, "ortho.jpg")
+    report = os.path.join(dataset_dir, "ortho_report.html")
     main_ortho_backward_grid.main(
         ["--data_directory", dataset_dir] + GRID + STEREO
-        + ["--output_geotiff", tif, "--orthomosaic_jpg_filename", jpg])
+        + ["--output_geotiff", tif, "--orthomosaic_jpg_filename", jpg,
+           "--report_html", report])
     band, _geo, _epsg = read_geotiff(tif)
     textured = band != 255.0
     assert textured.mean() > 0.3
     assert os.path.exists(jpg)
+    with open(report) as f:
+        page = f.read()
+    # self-contained page: embedded layer PNGs, stats, timings, config
+    assert page.count("data:image/png;base64,") >= 3
+    for needle in ("ortho", "elevation", "Stage timings", "Configuration",
+                   "Layer statistics"):
+        assert needle in page, needle
 
 
 def test_cli_ortho_backward_grid_incremental(dataset_dir):

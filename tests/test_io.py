@@ -197,3 +197,63 @@ def test_camera_rig_yaml_roundtrip(tmp_path):
     np.testing.assert_allclose(rig2.T_C_B_trans, T_C_B_t, atol=1e-9)
     np.testing.assert_allclose(np.abs(np.sum(rig2.T_C_B_quats * T_C_B_q,
                                              axis=1)), 1.0, atol=1e-9)
+
+def test_hillshade_geometry():
+    from aerial_mapper_tpu.io.report import hillshade
+
+    # flat surface: shade = sin(altitude) everywhere
+    flat = np.full((16, 16), 400.0)
+    s = hillshade(flat, 1.0, altitude_deg=45.0)
+    np.testing.assert_allclose(s, np.sin(np.deg2rad(45.0)), atol=1e-6)
+    # a slope facing the NW sun (rising toward SE: +row +col, since row 0 is
+    # north) is brighter than the opposite slope
+    r = np.arange(16)[:, None] * np.ones((1, 16))
+    c = np.arange(16)[None, :] * np.ones((16, 1))
+    s_facing = hillshade(r + c, 1.0)
+    s_away = hillshade(-(r + c), 1.0)
+    assert s_facing[8, 8] > 0.9 > np.sin(np.deg2rad(45.0)) > s_away[8, 8]
+    # NaN cells shade flat 0.5
+    nanned = flat.copy()
+    nanned[3, 4] = np.nan
+    assert hillshade(nanned, 1.0)[3, 4] == 0.5
+
+
+def test_render_layer_kinds():
+    from aerial_mapper_tpu.io.report import render_layer
+    from aerial_mapper_tpu.mapgrid.grid import MapGeometry
+
+    geom = MapGeometry(0.0, 0.0, 1.0, 8, 8)
+    gray = np.full((8, 8), 100.0)
+    gray[0, 0] = np.nan
+    rgb = render_layer("ortho", gray, geom)
+    assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+    assert tuple(rgb[0, 0]) == (255, 255, 255)  # NaN -> white
+    assert tuple(rgb[4, 4]) == (100, 100, 100)
+    # constant false-color layer renders as None (nothing to show)
+    assert render_layer("elevation_angle", np.zeros((8, 8)), geom) is None
+    # all-NaN layer renders as None
+    assert render_layer("elevation", np.full((8, 8), np.nan), geom) is None
+    # varying elevation renders with hillshade modulation
+    elev = np.arange(64, dtype=float).reshape(8, 8)
+    out = render_layer("elevation", elev, geom)
+    assert out.shape == (8, 8, 3)
+
+
+def test_write_html_report(tmp_path):
+    from aerial_mapper_tpu.io.report import write_html_report
+    from aerial_mapper_tpu.mapgrid.grid import MapGeometry
+
+    geom = MapGeometry(10.0, 20.0, 0.5, 8, 8)
+    layers = {
+        "ortho": np.random.default_rng(0).uniform(0, 255, (8, 8)),
+        "elevation": np.full((8, 8), 414.0)
+        + np.arange(64, dtype=float).reshape(8, 8) * 0.1,
+    }
+    path = str(tmp_path / "report.html")
+    write_html_report(path, layers, geom, config_banner="foo: 1 <bar>",
+                      timings={"dsm": 0.123},
+                      extra_images=[("panel", np.zeros((4, 4)))])
+    page = open(path).read()
+    assert page.count("data:image/png;base64,") == 3
+    assert "foo: 1 &lt;bar&gt;" in page  # banner is escaped
+    assert "0.1230" in page and "10.00, 20.00" in page
