@@ -6,15 +6,16 @@ that holds the 400x400x249 pass at ~4 ms on a v5e even though the arithmetic
 is ~1.6 GFLOP. This kernel tiles the cell axis over the Pallas grid and keeps
 the whole camera bank (rotation rows + projected offsets, [16, N_pad] floats)
 resident in VMEM: each tile computes its [tile_t, N] camera-frame coordinates,
-visibility and sin(angle) entirely on the VPU and reduces them to three
+visibility and angle-ranking key entirely on the VPU and reduces them to three
 [tile_t] outputs in one pass — HBM traffic collapses to reading the cells
 once and writing the per-cell winner index / angle / count.
 
 Semantics match ``_score_pass`` (ortho-backward-grid.cc:66-90 behavior)
-op-for-op: the same safe-z division, bounds test, sqrt/arcsin angle and
-first-max reduction, so winner selection (including near-tie rounding)
-mirrors the XLA path; the only residual divergence is FMA ordering in the
-3-term rotation (broadcast multiply-adds here vs dot_general there).
+op-for-op: the same safe-z division, bounds test, monotone ranking key
+q = z^2/||p||^2 and first-max reduction, so winner selection (including
+near-tie rounding) mirrors the XLA path; the only residual divergence is FMA
+ordering in the 3-term rotation (broadcast multiply-adds here vs dot_general
+there).
 Pinhole cameras only (``DIST_NONE``); the general XLA path stays the
 default.
 
@@ -38,13 +39,15 @@ from aerial_mapper_tpu.camera.models import DIST_NONE, Camera
 _LANES = 128
 
 
-def _score_kernel(cells_ref, cams_ref, out_best, out_alpha, out_nvis, *,
-                  tile_t: int, n_pad: int, fx, fy, cx, cy, width, height):
+def _score_kernel(cells_ref, cams_ref, out_best, out_q, out_u, out_v,
+                  out_nvis, *, tile_t: int, n_pad: int, fx, fy, cx, cy,
+                  width, height):
     """One cell tile vs the full camera bank.
 
     cells_ref: [tile_t, 8]  (easting, northing, elevation, 5 pad lanes)
     cams_ref:  [16, n_pad]  rows 0..8 = R_cw row-major, rows 9..11 = R_cw @ t
-    outputs:   [1, tile_t]  winner index (f32), arcsin-angle, visible count
+    outputs:   [1, tile_t]  winner index (f32), ranking key q, winner pixel
+               (u, v), visible count
     """
     ce = cells_ref[:, 0:1]  # [tile_t, 1]
     cn = cells_ref[:, 1:2]
@@ -55,10 +58,12 @@ def _score_kernel(cells_ref, cams_ref, out_best, out_alpha, out_nvis, *,
     y = ce * r[3:4, :] + cn * r[4:5, :] + el * r[5:6, :] - r[10:11, :]
     z = ce * r[6:7, :] + cn * r[7:8, :] + el * r[8:9, :] - r[11:12, :]
 
-    # op-for-op the same arithmetic as backward_grid._project_uv and
-    # _score_pass, so winner selection (incl. near-tie rounding) is
-    # identical to the XLA path; the VPU work is free next to the HBM
-    # traffic this kernel eliminates.
+    # op-for-op the same arithmetic as backward_grid._score_pass, so winner
+    # selection (incl. near-tie rounding) is identical to the XLA path; the
+    # only residual divergence is FMA ordering in the 3-term rotation.
+    # Ranking key q = z^2/||p||^2 is strictly increasing in the reference's
+    # alpha = asin(|z|/||p||) (ortho-backward-grid.cc:83-87); the exact angle
+    # is recovered from the [tile_t] winner only.
     safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     u = fx * (x / safe_z) + cx
     v = fy * (y / safe_z) + cy
@@ -68,17 +73,25 @@ def _score_kernel(cells_ref, cams_ref, out_best, out_alpha, out_nvis, *,
         & (u < width) & (v < height)
         & jnp.isfinite(u) & jnp.isfinite(v)
     )
-    norm = jnp.sqrt(x * x + y * y + z * z)
-    alpha = jnp.arcsin(jnp.abs(z) / jnp.maximum(norm, 1e-9))
-    am = jnp.where(vis, alpha, -jnp.inf)  # [tile_t, n_pad]; padding
+    q = (z * z) / jnp.maximum(x * x + y * y + z * z, 1e-18)
+    qm = jnp.where(vis, q, -jnp.inf)  # [tile_t, n_pad]; padding
     # cameras have R = 0 -> z = 0 -> invisible -> -inf
 
-    best = jnp.argmax(am, axis=1)  # first max, matching the XLA path
-    m = jnp.max(am, axis=1)
+    best = jnp.argmax(qm, axis=1)  # first max, matching the XLA path
+    m = jnp.max(qm, axis=1)
+    # winner payloads (pixel coordinates) via a masked one-hot reduction —
+    # stays VMEM-resident, mirrors the XLA path's variadic-reduce payloads
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, qm.shape, 1) == best[:, None]
+    )
+    bu = jnp.sum(jnp.where(one_hot, u, 0.0), axis=1)
+    bv = jnp.sum(jnp.where(one_hot, v, 0.0), axis=1)
     nvis = jnp.sum(jnp.where(vis, 1.0, 0.0), axis=1)
 
     out_best[:] = best.astype(jnp.float32)[None, :]
-    out_alpha[:] = m[None, :]
+    out_q[:] = m[None, :]
+    out_u[:] = bu[None, :]
+    out_v[:] = bv[None, :]
     out_nvis[:] = nvis[None, :]
 
 
@@ -91,9 +104,10 @@ def score_pass_pallas(
     tile_t: int = 512,
     interpret: bool = False,
 ):
-    """Fused best-angle pass. Returns (best [T] int32, alpha [T], n_vis [T]).
+    """Fused best-angle pass.
 
-    Drop-in for the tuple produced by ``backward_grid._score_pass`` for
+    Returns (best [T] int32, best_q [T], u [T], v [T], n_vis [T]) — a
+    drop-in for the tuple produced by ``backward_grid._score_pass`` for
     undistorted cameras.
     """
     if cam.dist_kind != DIST_NONE:
@@ -122,7 +136,7 @@ def score_pass_pallas(
         fx=float(cam.fx), fy=float(cam.fy), cx=float(cam.cx),
         cy=float(cam.cy), width=float(cam.width), height=float(cam.height),
     )
-    best_f, alpha, nvis = pl.pallas_call(
+    best_f, best_q, bu, bv, nvis = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -134,16 +148,17 @@ def score_pass_pallas(
         out_specs=[
             pl.BlockSpec((1, tile_t), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(3)
+            for _ in range(5)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, tile_t), jnp.float32)
-            for _ in range(3)
+            for _ in range(5)
         ],
         interpret=interpret,
     )(cells_p, bank)
 
-    best = best_f.reshape(-1)[:num_cells].astype(jnp.int32)
-    alpha = alpha.reshape(-1)[:num_cells]
-    nvis = nvis.reshape(-1)[:num_cells]
-    return best, alpha, nvis
+    def unpad(x):
+        return x.reshape(-1)[:num_cells]
+
+    return (unpad(best_f).astype(jnp.int32), unpad(best_q), unpad(bu),
+            unpad(bv), unpad(nvis))

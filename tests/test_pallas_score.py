@@ -39,35 +39,36 @@ def survey_inputs(num_cells=1000, n_cams=13, seed=0):
 
 def test_pallas_score_matches_xla_score():
     cells, R_cw, t = survey_inputs()
-    b_ref, a_ref, n_ref = _score_pass(cells, R_cw, t, CAM)
-    b_pal, a_pal, n_pal = score_pass_pallas(
+    b_ref, q_ref, u_ref, v_ref, n_ref = _score_pass(cells, R_cw, t, CAM)
+    b_pal, q_pal, u_pal, v_pal, n_pal = score_pass_pallas(
         cells, R_cw, t, CAM, tile_t=256, interpret=True
     )
-    b_ref, a_ref, n_ref, b_pal, a_pal, n_pal = map(
-        np.asarray, (b_ref, a_ref, n_ref, b_pal, a_pal, n_pal)
+    b_ref, q_ref, u_ref, v_ref, n_ref = map(
+        np.asarray, (b_ref, q_ref, u_ref, v_ref, n_ref)
     )
-    # winner selection: sin(alpha) ordering == alpha ordering (monotone);
-    # require exact match outside f32 rounding collisions
+    b_pal, q_pal, u_pal, v_pal, n_pal = map(
+        np.asarray, (b_pal, q_pal, u_pal, v_pal, n_pal)
+    )
+    # winner selection: require exact match outside f32 rounding collisions
     assert (b_pal == b_ref).mean() > 0.999
     same = b_pal == b_ref
-    seen = np.isfinite(a_ref) & same
+    seen = np.isfinite(q_ref) & same
     assert seen.any()
-    # arcsin is ill-conditioned near nadir (d/ds -> inf as s -> 1), so the
-    # kernel's rsqrt-computed sin amplifies to ~1e-3 rad there; winner
-    # selection (checked above) is what must be exact.
-    np.testing.assert_allclose(a_pal[seen], a_ref[seen], atol=2e-3)
-    np.testing.assert_allclose(np.sin(a_pal[seen]), np.sin(a_ref[seen]),
-                               atol=1e-5)
+    # ranking key and winner pixel coordinates: FMA ordering in the 3-term
+    # rotation is the only divergence between the two paths
+    np.testing.assert_allclose(q_pal[seen], q_ref[seen], atol=1e-5)
+    np.testing.assert_allclose(u_pal[seen], u_ref[seen], atol=1e-2)
+    np.testing.assert_allclose(v_pal[seen], v_ref[seen], atol=1e-2)
     assert (n_pal == n_ref).mean() > 0.999
-    # no-visible-camera cells agree exactly (alpha == -inf both paths)
-    np.testing.assert_array_equal(np.isfinite(a_pal), np.isfinite(a_ref))
+    # no-visible-camera cells agree exactly (q == -inf both paths)
+    np.testing.assert_array_equal(np.isfinite(q_pal), np.isfinite(q_ref))
 
 
 def test_pallas_score_ragged_tile_and_camera_padding():
     # num_cells not a multiple of tile_t; n_cams far below the 128-lane pad
     cells, R_cw, t = survey_inputs(num_cells=777, n_cams=3, seed=1)
-    b_ref, a_ref, n_ref = _score_pass(cells, R_cw, t, CAM)
-    b_pal, a_pal, n_pal = score_pass_pallas(
+    b_ref, q_ref, u_ref, v_ref, n_ref = _score_pass(cells, R_cw, t, CAM)
+    b_pal, q_pal, u_pal, v_pal, n_pal = score_pass_pallas(
         cells, R_cw, t, CAM, tile_t=512, interpret=True
     )
     assert (np.asarray(b_pal) == np.asarray(b_ref)).mean() > 0.999

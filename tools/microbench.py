@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Micro-benchmark harness for individual kernels on the axon TPU.
+
+Same methodology as bench.py (see docs/PERFORMANCE.md "Timing methodology"):
+warm up + compile, drain the queue with a scalar readback, then time
+repetitions of [k data-dependent chained calls -> ONE scalar readback] and
+keep the minimum window; difference two k values to cancel the per-window
+tunnel round-trip constant.
+
+Usage:
+    python tools/microbench.py ortho_score      # backward-grid score+texel
+    python tools/microbench.py bm               # BM matcher, one pair
+    python tools/microbench.py sgm              # SGM matcher, one pair
+    python tools/microbench.py idw              # DSM binned IDW, 12.6M pts
+    python tools/microbench.py stereo_e2e       # 35-pair batched stereo
+
+Each case prints `<name>: <ms> ms/pass` from the k-slope.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np  # noqa: E402
+
+
+def min_window(step, state0, k, reps, readback):
+    best = float("inf")
+    state = step(state0)
+    readback(state)  # drain compile/warm-up backlog
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state = step(state)
+        readback(state)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def slope_ms(step, state0, readback, k_small=8, k_large=40, reps=4):
+    t_s = min_window(step, state0, k_small, reps, readback)
+    t_l = min_window(step, state0, k_large, reps, readback)
+    return max(t_l - t_s, 1e-9) / (k_large - k_small) * 1e3
+
+
+def _workload(num_images=249, img_w=752, img_h=480, map_cells=400):
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.camera.models import Camera
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.mapgrid.grid import (
+        MapGeometry,
+        cell_centers,
+        create_map_state,
+    )
+    from aerial_mapper_tpu.synth.scene import (
+        SyntheticScene,
+        make_survey_poses,
+        render_image,
+    )
+
+    cam = Camera(fx=480.0, fy=480.0, cx=img_w / 2.0, cy=img_h / 2.0,
+                 width=img_w, height=img_h)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=6.0)
+    Rs, ts = make_survey_poses(
+        num_images, altitude=514.0, spacing=200.0 / max(num_images // 2, 1),
+        num_lines=2, line_spacing=60.0, start_easting=-100.0,
+        start_northing=-30.0,
+    )
+    images = jnp.stack(
+        [render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                      jnp.asarray(t, jnp.float32)) for R, t in zip(Rs, ts)]
+    )
+    geom = MapGeometry(center_easting=0.0, center_northing=0.0,
+                       resolution=0.5, height=map_cells, width=map_cells)
+    ce, cn = cell_centers(geom)
+    elevation = scene.height(ce, cn)
+    layers = dict(create_map_state(geom).layers)
+    layers["elevation"] = elevation
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
+                        jnp.float32)
+    return cam, scene, Rs, ts, images, geom, layers, quats
+
+
+def case_ortho_score():
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
+    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    ts_j = jnp.asarray(ts, jnp.float32)
+    cfg = OrthoBackwardGridConfig()
+    step = lambda lay: backward_grid_update(  # noqa: E731
+        lay, quats, ts_j, images, geom, cam, cfg)
+    ms = slope_ms(step, layers, lambda lay: float(jnp.sum(lay["ortho"])))
+    print(f"ortho_score: {ms:.2f} ms/pass "
+          f"({geom.height * geom.width / ms / 1e3:.1f} Mcells/s)")
+
+
+def _pair_setup():
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    return cam, ops, jnp
+
+
+def _rectified_pair(ops):
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.image.sample import point_in_quad
+    from aerial_mapper_tpu.stereo.batched import _rectify_one
+
+    rect1 = _rectify_one(ops.image1[0], ops.T1_inv[0])
+    rect2 = _rectify_one(ops.image2[0], ops.T2_inv[0])
+    h, w = rect1.shape
+    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    mask = point_in_quad(u, v, ops.corners_rect[0])
+    return rect1, rect2, mask
+
+
+def case_bm():
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.stereo.matching import block_matching_disparity
+
+    cam, ops, jnp = _pair_setup()
+    rect1, rect2, mask = _rectified_pair(ops)
+    cfg = BlockMatchingConfig(num_disparities=64)
+
+    @jax.jit
+    def step(x):
+        d = block_matching_disparity(rect1 + x * 1e-30, rect2, mask, cfg)
+        return jnp.sum(d) * 1e-9
+
+    ms = slope_ms(step, jnp.float32(0.0), float)
+    print(f"bm (752x480x64): {ms:.2f} ms/pair")
+
+
+def case_sgm():
+    import jax
+
+    from aerial_mapper_tpu.config import SgmConfig
+    from aerial_mapper_tpu.stereo.matching import sgm_disparity
+
+    cam, ops, jnp = _pair_setup()
+    rect1, rect2, mask = _rectified_pair(ops)
+    cfg = SgmConfig(num_disparities=64)
+
+    @jax.jit
+    def step(x):
+        d = sgm_disparity(rect1 + x * 1e-30, rect2, mask, cfg)
+        return jnp.sum(d) * 1e-9
+
+    ms = slope_ms(step, jnp.float32(0.0), float)
+    print(f"sgm (752x480x64): {ms:.2f} ms/pair")
+
+
+def case_stereo_e2e():
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.stereo.batched import process_pairs_batched
+
+    cam, ops, jnp = _pair_setup()
+    cfg = BlockMatchingConfig(num_disparities=64)
+    chunk = int(os.environ.get("MB_BATCH_CHUNK", "1"))
+
+    @jax.jit
+    def step(x):
+        o = ops._replace(image1=ops.image1 + x * 1e-30)
+        pts, intens, valid = process_pairs_batched(
+            o, cam, matcher="bm", bm_cfg=cfg, batch_chunk=chunk)
+        return jnp.sum(pts) * 1e-12
+
+    n_pairs = ops.image1.shape[0]
+    ms = slope_ms(step, jnp.float32(0.0), float, k_small=2, k_large=8,
+                  reps=3)
+    print(f"stereo_e2e ({n_pairs} pairs, chunk={chunk}): {ms:.1f} ms "
+          f"({ms / n_pairs:.2f} ms/pair)")
+
+
+def case_idw():
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig, DsmConfig
+    from aerial_mapper_tpu.dsm.idw import idw_to_grid
+    from aerial_mapper_tpu.stereo.batched import process_pairs_batched
+
+    import jax.numpy as jnp
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
+
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    pts, intens, valid = process_pairs_batched(
+        ops, cam, matcher="bm",
+        bm_cfg=BlockMatchingConfig(num_disparities=64), batch_chunk=1)
+    p = pts.reshape(-1, 3)
+    v = valid.reshape(-1)
+    cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+
+    @jax.jit
+    def step(x):
+        values, hit = idw_to_grid(
+            p[:, :2] + x * 1e-30, p[:, 2], v, geom, cfg.bin_capacity,
+            radius_sq=cfg.interpolation_radius_sq, adaptive=True,
+            growth=1.1, max_radius_sq=7.0)
+        return jnp.sum(jnp.where(hit, values, 0.0)) * 1e-9
+
+    ms = slope_ms(step, jnp.float32(0.0), float, k_small=2, k_large=10,
+                  reps=3)
+    print(f"idw ({p.shape[0] / 1e6:.1f}M points): {ms:.1f} ms")
+
+
+CASES = {
+    "ortho_score": case_ortho_score,
+    "bm": case_bm,
+    "sgm": case_sgm,
+    "idw": case_idw,
+    "stereo_e2e": case_stereo_e2e,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["ortho_score"]
+    for name in names:
+        CASES[name]()
