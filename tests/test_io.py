@@ -257,3 +257,89 @@ def test_write_html_report(tmp_path):
     assert page.count("data:image/png;base64,") == 3
     assert "foo: 1 &lt;bar&gt;" in page  # banner is escaped
     assert "0.1230" in page and "10.00, 20.00" in page
+
+
+def test_native_loader_parity_with_pil(tmp_path, rng):
+    """PNG/PNM decode bit-identical to PIL; JPEG within 2 gray levels."""
+    from PIL import Image
+
+    from aerial_mapper_tpu.io.native_loader import (
+        load_images_native,
+        native_loader_available,
+    )
+
+    if not native_loader_available():
+        pytest.skip("native loader unavailable (no compiler)")
+    gray = rng.uniform(0, 255, (24, 31)).astype(np.uint8)
+    rgb = rng.uniform(0, 255, (16, 20, 3)).astype(np.uint8)
+    Image.fromarray(gray).save(tmp_path / "g.png")
+    Image.fromarray(rgb).save(tmp_path / "c.png")
+    Image.fromarray(gray).save(tmp_path / "g.pgm")
+    Image.fromarray(rgb).save(tmp_path / "c.ppm")
+    Image.fromarray(rgb).save(tmp_path / "c.jpg", quality=95)
+
+    for name in ("g.png", "c.png", "g.pgm", "c.ppm"):
+        for color in (False, True):
+            path = str(tmp_path / name)
+            nat = load_images_native([path], color=color)[0]
+            with Image.open(path) as img:
+                pil = np.asarray(img.convert("RGB" if color else "L"),
+                                 np.float32)
+            assert nat.dtype == np.float32
+            np.testing.assert_array_equal(
+                nat, pil, err_msg=f"{name} color={color}"
+            )
+
+    for color in (False, True):
+        path = str(tmp_path / "c.jpg")
+        nat = load_images_native([path], color=color)[0]
+        with Image.open(path) as img:
+            pil = np.asarray(img.convert("RGB" if color else "L"), np.float32)
+        assert nat.shape == pil.shape
+        assert np.abs(nat - pil).max() <= 2.0
+
+
+def test_native_loader_out_of_order_release_and_errors(tmp_path):
+    from PIL import Image
+
+    from aerial_mapper_tpu.io.native_loader import (
+        NativeImageLoader,
+        native_loader_available,
+    )
+
+    if not native_loader_available():
+        pytest.skip("native loader unavailable (no compiler)")
+    paths = []
+    for i in range(5):
+        arr = np.full((6, 7), i * 10, np.uint8)
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+    bad = str(tmp_path / "missing.png")
+    with NativeImageLoader(paths + [bad], num_threads=2) as ld:
+        assert len(ld) == 6
+        # out-of-order access; release frees the decode buffer
+        assert float(ld.get(4)[0, 0]) == 40.0
+        assert float(ld.get(0, release=True)[0, 0]) == 0.0
+        assert float(ld.get(2)[3, 3]) == 20.0
+        with pytest.raises(IOError):
+            ld.get(5)
+
+
+def test_images_by_prefix_backends_agree(tmp_path, rng):
+    from aerial_mapper_tpu.io.native_loader import native_loader_available
+
+    for i in range(3):
+        save_image(str(tmp_path / f"f_{i}.png"),
+                   rng.uniform(0, 255, (9, 11)))
+    pil = load_images_by_prefix(str(tmp_path / "f_"), 3, extension=".png",
+                                backend="pil")
+    auto = load_images_by_prefix(str(tmp_path / "f_"), 3, extension=".png",
+                                 backend="auto")
+    for a, b in zip(pil, auto):
+        np.testing.assert_array_equal(a, b)
+    if native_loader_available():
+        nat = load_images_by_prefix(str(tmp_path / "f_"), 3,
+                                    extension=".png", backend="native")
+        for a, b in zip(pil, nat):
+            np.testing.assert_array_equal(a, b)
