@@ -188,24 +188,58 @@ def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
     return runner >= c0 * (1.0 + ratio / 100.0)
 
 
-def _lr_consistency_mask(cost: jax.Array, disp_left: jax.Array,
-                         min_disp: int, max_diff: float) -> jax.Array:
-    """Left-right check by reusing the left cost volume:
-    cost_R[d, v, u] = cost_L[d, v, u + min_disp + d] (no second matching
-    pass); the diagonal shift is the gather-free ``_diag_shear``."""
+def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
+                         min_disp: int) -> jax.Array:
+    """Left-right check by reusing the left cost volume — no second matching
+    pass and no per-pixel gathers.
+
+    Right-view cost is the diagonal of the left volume:
+    ``cost_R[d, v, u_r] = cost_L[d, v, u_r + min_disp + d]`` (gather-free
+    ``_diag_shear``). A left pixel whose winner index is ``dL`` passes when
+    the right winner ``d_r`` at its match column ``u - min_disp - dL``
+    satisfies ``|d_r - dL| <= 1`` (index-level, like cv::validateDisparity
+    with disp12MaxDiff=1). Sampling ``d_r`` at ``u - dL`` is a [H, W]
+    arbitrary gather (~3.6 ms at this hardware's per-index gather cost,
+    CLAUDE.md); instead mark right winners in LEFT coordinates by equality
+    against the sheared right-column minima:
+
+        aligned[d, v, u] = (cost_L[d, v, u] == m_r[v, u - min_disp - d])
+
+    since ``cost_R[d, v, u_r] == cost_L[d, v, u]`` identically for
+    ``u = u_r + min_disp + d``. Then
+
+        pass[v, u] = aligned[dL, v, u] | aligned[dL-1, v, u-1]
+                                       | aligned[dL+1, v, u+1]
+
+    covers the three |d_r - dL| <= 1 cases (the d_r = dL∓1 winners live at
+    match column u - min_disp - dL, reached from left pixel u∓1 at shear
+    index dL∓1) — one masked any-reduction over d, all shears layout-level.
+    Deviation from the previous subpixel-valued compare: ties in m_r accept
+    any tied winner (argmin keeps the first); measured identical masks on
+    the synthetic set to within the post-filter tolerance.
+    """
     num_disp, h, w = cost.shape
     shifted = (
         jnp.pad(cost, ((0, 0), (0, 0), (0, min_disp)),
                 constant_values=_BIG)[:, :, min_disp:]
         if min_disp else cost
     )
+    # right-view volume + its per-column minima; winner marks computed in
+    # right coordinates (bool, 1/4 the bytes of the float volume), then
+    # sheared BACK to left coordinates — both shears are layout-level
     cost_r = _diag_shear(shifted, sign=+1, fill=_BIG)
-    disp_r = jnp.argmin(cost_r, axis=0).astype(cost.dtype) + min_disp  # [H, W]
-    # sample right disparity at u - d_L
-    uu = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    src_u = jnp.clip(jnp.round(uu - disp_left).astype(jnp.int32), 0, w - 1)
-    d_r_at = jnp.take_along_axis(disp_r, src_u, axis=1)
-    return jnp.abs(disp_left - d_r_at) <= max_diff
+    m_r = jnp.min(cost_r, axis=0)  # [H, W]
+    win_r = cost_r == m_r[None]  # [D, H, W] marks in right coords
+    aligned = _diag_shear(win_r, sign=-1, fill=False)
+    if min_disp:
+        aligned = jnp.pad(
+            aligned, ((0, 0), (0, 0), (min_disp, 0))
+        )[:, :, :w]
+    a_prev = jnp.pad(aligned, ((1, 0), (0, 0), (1, 0)))[:-1, :, :w]
+    a_next = jnp.pad(aligned, ((0, 1), (0, 0), (0, 1)))[1:, :, 1:]
+    near = aligned | a_prev | a_next
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    return jnp.any(near & (d_idx == best[None]), axis=0)
 
 
 def _speckle_mask(disp: jax.Array, valid: jax.Array, window_size: int,
@@ -258,8 +292,7 @@ def block_matching_disparity(
     valid = texture >= cfg.texture_threshold * cfg.block_size
 
     valid &= _uniqueness_mask(cost, best, c0, cfg.uniqueness_ratio)
-    valid &= _lr_consistency_mask(cost, disp, cfg.min_disparity,
-                                  max(cfg.speckle_range * 0 + 1.0, 1.0))
+    valid &= _lr_consistency_mask(cost, best, cfg.min_disparity)
     valid &= mask
     valid &= jnp.any(border, axis=0)
     valid = _speckle_mask(disp, valid, cfg.speckle_window_size,

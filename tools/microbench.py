@@ -149,6 +149,62 @@ def case_bm():
     print(f"bm (752x480x64): {ms:.2f} ms/pair")
 
 
+def case_bm_stages():
+    """Cumulative-prefix timing of the BM pipeline's internal stages.
+
+    Each step returns a scalar from a PREFIX of the pipeline; differencing
+    consecutive prefixes attributes time to the added stage (fusion across
+    the cut is lost, so treat the split as approximate).
+    """
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.stereo import matching as M
+
+    cam, ops, jnp = _pair_setup()
+    rect1, rect2, mask = _rectified_pair(ops)
+    cfg = BlockMatchingConfig(num_disparities=64)
+    h, w = rect1.shape
+
+    def prefix(stage):
+        @jax.jit
+        def step(x):
+            lf = M._xsobel_prefilter(rect1 + x * 1e-30, cfg.pre_filter_cap)
+            rf = M._xsobel_prefilter(rect2, cfg.pre_filter_cap)
+            cost = M._cost_volume_sad(
+                lf, rf, cfg.num_disparities, cfg.min_disparity,
+                cfg.block_size)
+            border = M._border_mask(h, w, cfg.num_disparities,
+                                    cfg.min_disparity)
+            cost = jnp.where(border, cost, M._BIG)
+            if stage == "cost":
+                return jnp.sum(cost) * 1e-12
+            disp, c0, best = M._wta_subpixel(cost, cfg.min_disparity)
+            if stage == "wta":
+                return jnp.sum(disp + c0) * 1e-9
+            valid = M._uniqueness_mask(cost, best, c0, cfg.uniqueness_ratio)
+            if stage == "uniq":
+                return jnp.sum(disp + valid) * 1e-9
+            valid &= M._lr_consistency_mask(cost, best, cfg.min_disparity)
+            if stage == "lr":
+                return jnp.sum(disp + valid) * 1e-9
+            texture = M._box_filter(jnp.abs(lf - cfg.pre_filter_cap),
+                                    cfg.block_size)
+            valid &= texture >= cfg.texture_threshold * cfg.block_size
+            valid &= mask & jnp.any(border, axis=0)
+            valid = M._speckle_mask(disp, valid, cfg.speckle_window_size,
+                                    cfg.speckle_range)
+            return jnp.sum(jnp.where(valid, disp, M.INVALID_DISPARITY)) * 1e-9
+        return step
+
+    prev = 0.0
+    for stage in ("cost", "wta", "uniq", "lr", "full"):
+        ms = slope_ms(prefix(stage), jnp.float32(0.0), float)
+        print(f"bm_stages {stage}: {ms:.2f} ms cumulative "
+              f"(+{ms - prev:.2f})")
+        prev = ms
+
+
 def case_sgm():
     import jax
 
@@ -228,6 +284,7 @@ def case_idw():
 CASES = {
     "ortho_score": case_ortho_score,
     "bm": case_bm,
+    "bm_stages": case_bm_stages,
     "sgm": case_sgm,
     "idw": case_idw,
     "stereo_e2e": case_stereo_e2e,
