@@ -5,9 +5,9 @@ TPU-native replacement for the reference's kd-tree radius-search IDW
 ``aerial_mapper_ortho/src/ortho-from-pcl.cc:27-107``). Instead of a pointer-
 chasing nanoflann tree we:
 
-1. **bin** points into their owning map cell with a stable multi-operand
-   sort + segment-boundary gather (capacity K slots per cell, deterministic
-   first-K policy), and
+1. **bin** points into their owning map cell with a stable rank sort
+   (cell id, point index) + segment-boundary two-hop gather (capacity K
+   slots per cell, deterministic first-K policy), and
 2. **gather** per query cell over a fixed (2*hw+1)^2 cell window around it,
    accumulating the IDW sums with the exact per-point distances.
 

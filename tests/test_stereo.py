@@ -182,3 +182,51 @@ def test_end_to_end_cloud_accuracy():
     )
     err = np.abs(pts[:, 2] - z_true)
     assert np.median(err) < 1.0, f"median vertical error {np.median(err)} m"
+
+
+def _lr_reference_loop(cost, min_disp):
+    """Brute-force oracle for ``_lr_consistency_mask``.
+
+    Right-view cost is the diagonal of the left volume,
+    cost_R[d, v, u_r] = cost_L[d, v, u_r + min_disp + d]; a left pixel with
+    winner dL passes when some d'' in {dL-1, dL, dL+1} attains the minimum
+    of the right column u_r = u - min_disp - dL (index-level check like
+    cv::validateDisparity with disp12MaxDiff=1; ties accept any minimizer).
+    The d'' = dL-/+1 marks are read from left pixels u-/+1, so they carry
+    the implementation's array-bound guards on u.
+    """
+    big = 1.0e9
+    D, H, W = cost.shape
+    best = cost.argmin(axis=0)
+    out = np.zeros((H, W), bool)
+    for v in range(H):
+        for u in range(W):
+            dL = int(best[v, u])
+            ur = u - min_disp - dL
+            if ur < 0:
+                continue
+            col = np.full(D, big)
+            for d in range(D):
+                x = ur + min_disp + d
+                if x < W:
+                    col[d] = cost[d, v, x]
+            m = col.min()
+            for dd, uu in ((dL, u), (dL - 1, u - 1), (dL + 1, u + 1)):
+                if 0 <= dd < D and 0 <= uu < W and col[dd] == m:
+                    out[v, u] = True
+                    break
+    return out
+
+
+def test_lr_consistency_matches_bruteforce_oracle():
+    from aerial_mapper_tpu.stereo.matching import _lr_consistency_mask
+
+    rng = np.random.default_rng(3)
+    for min_disp in (0, 3):
+        cost = rng.uniform(0.0, 100.0, size=(8, 6, 32)).astype(np.float32)
+        best = jnp.asarray(cost.argmin(axis=0).astype(np.int32))
+        ours = np.asarray(
+            _lr_consistency_mask(jnp.asarray(cost), best, min_disp)
+        )
+        ref = _lr_reference_loop(cost, min_disp)
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{min_disp=}")
