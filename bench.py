@@ -71,6 +71,10 @@ def _build_workload():
         num_lines=2, line_spacing=60.0, start_easting=-100.0,
         start_northing=-30.0,
     )
+    # Imagery is 8-bit end to end (the native loader's output format); the
+    # synthetic renders are quantized once so the TPU gathers uint8 texels
+    # while the CPU baseline reads the SAME values as float32 — identical
+    # workload data, each side in its natural layout.
     images = jnp.stack(
         [
             render_image(scene, cam, jnp.asarray(R, jnp.float32),
@@ -78,6 +82,7 @@ def _build_workload():
             for R, t in zip(Rs, ts)
         ]
     )
+    images = jnp.clip(jnp.round(images), 0.0, 255.0).astype(jnp.uint8)
     geom = MapGeometry(center_easting=0.0, center_northing=0.0,
                        resolution=RESOLUTION, height=MAP_CELLS,
                        width=MAP_CELLS)

@@ -77,6 +77,8 @@ def _workload(num_images=249, img_w=752, img_h=480, map_cells=400):
         [render_image(scene, cam, jnp.asarray(R, jnp.float32),
                       jnp.asarray(t, jnp.float32)) for R, t in zip(Rs, ts)]
     )
+    # 8-bit imagery like bench.py: uint8 texel gathers, float math after
+    images = jnp.clip(jnp.round(images), 0.0, 255.0).astype(jnp.uint8)
     geom = MapGeometry(center_easting=0.0, center_northing=0.0,
                        resolution=0.5, height=map_cells, width=map_cells)
     ce, cn = cell_centers(geom)
