@@ -273,3 +273,34 @@ def test_homography_incremental_updates_match_batch():
     np.testing.assert_allclose(
         np.asarray(state.mosaic), np.asarray(batch), atol=1e-3
     )
+
+
+def test_backward_grid_uint8_images_identical_to_float():
+    """uint8 image stacks (the native loader's output format) must texture
+    identically to the same values as float32 — the texel gather fetches
+    native-dtype bytes and upcasts only the per-cell winners."""
+    Rs, ts, images = synth_views()
+    img_u8 = jnp.clip(jnp.round(images), 0.0, 255.0).astype(jnp.uint8)
+    img_f32 = img_u8.astype(jnp.float32)
+
+    ce, cn = cell_centers(GEOM)
+    layers = dict(create_map_state(GEOM).layers)
+    layers["elevation"] = SCENE.height(ce, cn)
+    quats = jnp.asarray(
+        matrix_to_quat(jnp.asarray(Rs, jnp.float32)), jnp.float32
+    )
+    cfg = OrthoBackwardGridConfig()
+    out_u8 = backward_grid_update(
+        dict(layers), quats, jnp.asarray(ts, jnp.float32), img_u8,
+        GEOM, CAM, cfg,
+    )
+    out_f32 = backward_grid_update(
+        dict(layers), quats, jnp.asarray(ts, jnp.float32), img_f32,
+        GEOM, CAM, cfg,
+    )
+    for name in ("ortho", "elevation_angle", "observation_index",
+                 "num_observations"):
+        np.testing.assert_array_equal(
+            np.asarray(out_u8[name]), np.asarray(out_f32[name]),
+            err_msg=name,
+        )
