@@ -78,9 +78,16 @@ def prepare_pair_operands(
         i2s.append(b)
 
     # keep device arrays on device: a single d2h readback flips the axon
-    # TPU tunnel into a synchronous dispatch mode (~ms per call)
+    # TPU tunnel into a synchronous dispatch mode (~ms per call).
+    # uint8 imagery (the native loader's output) stays uint8 so the
+    # rectification remap gathers 1-byte texels (~11% faster per index);
+    # bilinear interpolation upcasts after the fetch.
+    def _as_image(x):
+        x = jnp.asarray(x)
+        return x if x.dtype == jnp.uint8 else x.astype(jnp.float32)
+
     stack_img = lambda ii: jnp.stack(  # noqa: E731
-        [jnp.asarray(images[i], jnp.float32) for i in ii]
+        [_as_image(images[i]) for i in ii]
     )
     return PairOperands(
         image1=stack_img(i1s),

@@ -169,7 +169,9 @@ def worker_e2e(k: int):
 
     @jax.jit
     def step(eps, ops, layers, images):
-        o = ops._replace(image1=ops.image1 + eps * 1e-30)
+        # data-dependence for call chaining rides the f32 rectification
+        # transforms, not the (uint8) images, so dtypes stay native
+        o = ops._replace(T1_inv=ops.T1_inv + eps * 1e-30)
         pts, intens, valid = process_pairs_batched(
             o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1
         )

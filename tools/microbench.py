@@ -238,7 +238,7 @@ def case_stereo_e2e():
 
     @jax.jit
     def step(x):
-        o = ops._replace(image1=ops.image1 + x * 1e-30)
+        o = ops._replace(T1_inv=ops.T1_inv + x * 1e-30)
         pts, intens, valid = process_pairs_batched(
             o, cam, matcher="bm", bm_cfg=cfg, batch_chunk=chunk)
         return jnp.sum(pts) * 1e-12
