@@ -165,6 +165,13 @@ def worker_e2e(k: int):
     ortho_cfg = OrthoBackwardGridConfig()
     bm_cfg = BlockMatchingConfig(num_disparities=64)
     dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    # The uint8 stack is fastest for the standalone ortho program (the
+    # texel gather fetches 1-byte texels), but as an operand of THIS
+    # combined program XLA re-lays the uint8 parameter out on every call
+    # (measured +0.28 s/step vs +0 for float32, while each stage in its
+    # own program is faster with uint8). Upcast ONCE on device and feed
+    # float32 to both consumers.
+    images = images.astype(jnp.float32)
     ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
 
     @jax.jit
