@@ -262,7 +262,7 @@ def worker_agreement():
     print(f"RESULT {t_cpu} {agree}", flush=True)
 
 
-def _spawn(mode: str, timeout=560) -> list:
+def _spawn(mode: str, timeout=1100) -> list:
     env = dict(os.environ, BENCH_WORKER=mode)
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
@@ -301,7 +301,13 @@ def main():
     mcells = MAP_CELLS * MAP_CELLS / 1e6
 
     # headline: slope between min-window k=8 and k=40 chained ortho passes
-    t8, t40 = _spawn("ortho:8:40")
+    # (one retry: the axon remote compiler's latency is wildly variable and
+    # a cold-cache worker can exceed its timeout; the retry hits the cache)
+    try:
+        t8, t40 = _spawn("ortho:8:40")
+    except Exception as e:  # noqa: BLE001
+        log(f"ortho worker retry after: {type(e).__name__}: {e}")
+        t8, t40 = _spawn("ortho:8:40")
     t_ortho = max((t40 - t8) / 32.0, 1e-9)
     tpu_mcells_s = mcells / t_ortho
     log(f"TPU backward-grid: {t_ortho * 1e3:.1f} ms/pass "
