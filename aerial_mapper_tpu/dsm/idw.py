@@ -52,9 +52,15 @@ _EXACT_EPS = 1.0e-12  # d^2 below this counts as a perfect match
 class BinnedPoints(NamedTuple):
     """Points scattered into per-cell capacity-K slots.
 
-    ``de``/``dn``: [H, W, K] offsets of each stored point from its owning
-    cell's center (meters; _FAR for empty slots). ``payload``: [H, W, K].
+    ``de``/``dn``: [K, H, W] offsets of each stored point from its owning
+    cell's center (meters; _FAR for empty slots). ``payload``: [K, H, W].
     ``count``: [H, W] number of points binned (pre-capacity-clip).
+
+    The slot axis K leads: XLA tiles the two minor-most dims to the
+    (sublane, lane) = (8, 128) register shape, so a trailing K=8 axis pads
+    to 128 lanes — 16x the footprint and HBM traffic of the same data with
+    (H, W) minor (the windowed accumulation measured 3.3x slower in the
+    trailing-K layout on a v5e).
     """
 
     de: jax.Array
@@ -127,10 +133,12 @@ def bin_points(
     bounds = jnp.searchsorted(
         sorted_ids, jnp.arange(h * w + 1, dtype=sorted_ids.dtype)
     )
-    pos = bounds[:-1, None] + jnp.arange(k, dtype=bounds.dtype)[None]
-    slot_ok = (pos < bounds[1:, None]).reshape(-1)  # rank < count[cell]
+    # slot-major [K, H*W] positions so the outputs land directly in the
+    # K-leading layout (see BinnedPoints docstring)
+    pos = bounds[None, :-1] + jnp.arange(k, dtype=bounds.dtype)[:, None]
+    slot_ok = (pos < bounds[None, 1:]).reshape(-1)  # rank < count[cell]
     posc = jnp.minimum(pos, sorted_ids.shape[0] - 1).reshape(-1)
-    slots = packed_src[sorted_idx[posc]]  # [H*W*K, 3] two-hop gather
+    slots = packed_src[sorted_idx[posc]]  # [K*H*W, 3] two-hop gather
     de = jnp.where(slot_ok, slots[:, 0], _FAR)
     dn = jnp.where(slot_ok, slots[:, 1], _FAR)
     pl = jnp.where(slot_ok, slots[:, 2].astype(payload.dtype),
@@ -138,9 +146,9 @@ def bin_points(
     count = jnp.diff(bounds).astype(jnp.int32)
 
     return BinnedPoints(
-        de=de.reshape(h, w, k),
-        dn=dn.reshape(h, w, k),
-        payload=pl.reshape(h, w, k),
+        de=de.reshape(k, h, w),
+        dn=dn.reshape(k, h, w),
+        payload=pl.reshape(k, h, w),
         count=count.reshape(h, w),
     )
 
@@ -194,7 +202,7 @@ def binned_idw(
     the (possibly grown) radius have hit_mask False (the reference leaves the
     layer value untouched there, dsm.cc:79-106).
     """
-    h, w, k = binned.de.shape
+    k, h, w = binned.de.shape
     dtype = binned.de.dtype
     r2_cap = max_radius_sq if adaptive else radius_sq
     hw = _window_halfwidth(r2_cap, geom.resolution)
@@ -206,7 +214,7 @@ def binned_idw(
     offs_arr = jnp.asarray(offsets, jnp.int32)  # [M, 2]
     num_offsets = len(offsets)
 
-    pad = ((hw, hw), (hw, hw), (0, 0))
+    pad = ((0, 0), (hw, hw), (hw, hw))
     de_p = jnp.pad(binned.de, pad, constant_values=_FAR)
     dn_p = jnp.pad(binned.dn, pad, constant_values=_FAR)
     pl_p = jnp.pad(binned.payload, pad, constant_values=0.0)
@@ -214,7 +222,7 @@ def binned_idw(
     res = jnp.asarray(geom.resolution, dtype)
 
     def window_view(arr, oi, oj):
-        return jax.lax.dynamic_slice(arr, (oi, oj, 0), (h, w, k))
+        return jax.lax.dynamic_slice(arr, (0, oi, oj), (k, h, w))
 
     def d2_at(oi, oj):
         # Source point position relative to query cell center:
@@ -232,7 +240,7 @@ def binned_idw(
     def min_body(o, d2min):
         oi, oj = offs_arr[o, 0], offs_arr[o, 1]
         d2 = d2_at(oi, oj)
-        return jnp.minimum(d2min, jnp.min(d2, axis=-1))
+        return jnp.minimum(d2min, jnp.min(d2, axis=0))
 
     if adaptive:
         d2min = jax.lax.fori_loop(
@@ -262,17 +270,20 @@ def binned_idw(
         oi, oj = offs_arr[o, 0], offs_arr[o, 1]
         d2 = d2_at(oi, oj)
         pl = window_view(pl_p, oi, oj)
-        in_r = d2 < r_eff[..., None]
+        in_r = d2 < r_eff[None]
         is_exact = in_r & (d2 <= _EXACT_EPS)
         wgt = jnp.where(in_r & ~is_exact, 1.0 / jnp.maximum(d2, _EXACT_EPS), 0.0)
-        num = num + jnp.sum(wgt * pl, axis=-1)
-        den = den + jnp.sum(wgt, axis=-1)
-        any_exact = jnp.any(is_exact, axis=-1)
-        first_exact = pl[
-            jnp.arange(h)[:, None],
-            jnp.arange(w)[None, :],
-            jnp.argmax(is_exact, axis=-1),
-        ]
+        num = num + jnp.sum(wgt * pl, axis=0)
+        den = den + jnp.sum(wgt, axis=0)
+        any_exact = jnp.any(is_exact, axis=0)
+        # first exact slot along K as a masked reduce — a per-cell arbitrary
+        # gather here costs H*W indices PER OFFSET (~20M gathered indices
+        # over the loop, the dominant cost of the old trailing-K version)
+        slot = jnp.argmax(is_exact, axis=0)
+        slot_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (k, h, w), 0) == slot[None]
+        )
+        first_exact = jnp.sum(jnp.where(slot_oh, pl, 0.0), axis=0)
         exact_val = jnp.where(~exact_hit & any_exact, first_exact, exact_val)
         exact_hit = exact_hit | any_exact
         return num, den, exact_val, exact_hit

@@ -1,6 +1,6 @@
 """Fused Pallas IDW window accumulation: both passes VMEM-resident per tile.
 
-The XLA window loop (dsm/idw.py::binned_idw) re-reads the padded [H, W, K]
+The XLA window loop (dsm/idw.py::binned_idw) re-reads the padded [K, H, W]
 binned arrays from HBM for every one of the ~105 window offsets in each of
 its two passes (nearest-point, then weighted accumulation) — ~200 streamed
 passes over the map. This kernel tiles the map rows over the Pallas grid,
@@ -12,9 +12,7 @@ and one write of the per-cell outputs.
 Semantics mirror ``binned_idw`` op-for-op: the same circular offset list
 (``_circular_offsets``), strict ``d2 < r_eff`` membership, 1/d^2 weights,
 exact-match (d^2 <= eps) first-hit shortcut, and the closed-form adaptive
-ladder. The only numerical difference is the reduction order over the K
-slot axis (leading axis here vs trailing there), which reorders float
-additions inside one cell's accumulation.
+ladder, with identical K-leading reduction order.
 
 Like stereo/pallas_bm.py and ortho/pallas_score.py, Mosaic cannot compile
 through the axon remote-compile tunnel, so this kernel is validated in
@@ -151,7 +149,7 @@ def binned_idw_pallas(
 
     Returns ``(values [H, W], hit [H, W] bool)``.
     """
-    h, w, k = binned.de.shape
+    k, h, w = binned.de.shape
     r2_cap = max_radius_sq if adaptive else radius_sq
     hw = _window_halfwidth(r2_cap, geom.resolution)
     offsets = _circular_offsets(hw, geom.resolution, r2_cap)
@@ -164,11 +162,10 @@ def binned_idw_pallas(
     wp_pad = (-wp) % _LANES
 
     def prep(arr, fill):
-        # [H, W, K] -> [K, H + pads, Wp]: K leading (slot axis), halo +
-        # tile padding on rows, halo + lane alignment on columns
-        a = jnp.transpose(arr, (2, 0, 1))
+        # [K, H, W] -> [K, H + pads, Wp]: halo + tile padding on rows,
+        # halo + lane alignment on columns (slot axis already leads)
         return jnp.pad(
-            a, ((0, 0), (hw, hw + pad_h), (hw, hw + wp_pad)),
+            arr, ((0, 0), (hw, hw + pad_h), (hw, hw + wp_pad)),
             constant_values=fill,
         )
 

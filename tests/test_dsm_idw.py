@@ -101,7 +101,7 @@ def test_bin_capacity_overflow_drops_deterministically(rng):
     )
     row, col = 11, 10  # cell containing (0.3, 0.3)
     assert int(binned.count[row, col]) == 100
-    assert np.isfinite(np.asarray(binned.de[row, col])).all()
+    assert np.isfinite(np.asarray(binned.de[:, row, col])).all()
 
 
 def test_update_elevation_layer_leaves_missing_cells_nan(rng):
