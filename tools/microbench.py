@@ -207,6 +207,42 @@ def case_bm_stages():
         prev = ms
 
 
+def case_bm_cost_stages():
+    """Split the SAD cost build: shear+|diff| vs each box-filter axis."""
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.stereo import matching as M
+
+    cam, ops, jnp = _pair_setup()
+    rect1, rect2, mask = _rectified_pair(ops)
+    cfg = BlockMatchingConfig(num_disparities=64)
+
+    def prefix(stage):
+        @jax.jit
+        def step(x):
+            lf = M._xsobel_prefilter(rect1 + x * 1e-30, cfg.pre_filter_cap)
+            rf = M._xsobel_prefilter(rect2, cfg.pre_filter_cap)
+            r_stack = M._shifted_right(rf, cfg.num_disparities,
+                                       cfg.min_disparity)
+            ad = jnp.abs(lf[None, :, :] - r_stack)
+            if stage == "ad":
+                return jnp.sum(ad) * 1e-12
+            bh = M._box_filter(ad, cfg.block_size, axes=(-2,))
+            if stage == "box_h":
+                return jnp.sum(bh) * 1e-12
+            bw = M._box_filter(bh, cfg.block_size, axes=(-1,))
+            return jnp.sum(bw) * 1e-12
+        return step
+
+    prev = 0.0
+    for stage in ("ad", "box_h", "box_w"):
+        ms = slope_ms(prefix(stage), jnp.float32(0.0), float)
+        print(f"bm_cost_stages {stage}: {ms:.2f} ms cumulative "
+              f"(+{ms - prev:.2f})")
+        prev = ms
+
+
 def case_sgm():
     import jax
 
@@ -287,6 +323,7 @@ CASES = {
     "ortho_score": case_ortho_score,
     "bm": case_bm,
     "bm_stages": case_bm_stages,
+    "bm_cost_stages": case_bm_cost_stages,
     "sgm": case_sgm,
     "idw": case_idw,
     "stereo_e2e": case_stereo_e2e,
