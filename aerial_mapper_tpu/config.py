@@ -86,6 +86,12 @@ class BlockMatchingConfig:
     pre_filter_size: int = 9
     speckle_window_size: int = 100
     speckle_range: float = 5.0
+    # cv::StereoBM operates on CV_8U images with integer SAD costs
+    # (prefilter_xsobel writes uint8, SADs accumulate in int); True
+    # quantizes the (bilinear, float) rectified images the same way and
+    # runs the whole [D, H, W] cost volume in int16 — half the HBM bytes
+    # of float32. False keeps the earlier float cost volume.
+    integer_costs: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,6 +78,8 @@ def bin_points(
     capacity: int,
     north=None,
     west=None,
+    row_offset=0,
+    col_offset=0,
 ) -> BinnedPoints:
     """Scatter points (x=easting, y=northing) into per-cell slots.
 
@@ -86,17 +88,26 @@ def bin_points(
     across runs and shardings). Stores cell-relative offsets so everything
     after binning is small-magnitude float32.
 
-    ``north``/``west`` may be traced overrides of the grid's top/left edge —
-    used by halo-extended and tile-sharded callers whose grid origin differs
-    from ``geom``'s.
+    ``north``/``west`` are the edges used for cell assignment AND the
+    cell-center arithmetic (default: ``geom``'s own). ``row_offset``/
+    ``col_offset`` (integers, may be traced) shift the assigned indices
+    into this grid's local frame AFTER assignment. Halo-extended and
+    tile-sharded callers must pass the GLOBAL map edges plus their integer
+    offset instead of a shifted edge: every float op (floor, cell center,
+    point-to-center offset) is then bit-for-bit the same on every tile and
+    on a single device, so IDW knife-edge cases (a distance exactly at the
+    radius, the adaptive ladder's ceil) cannot diverge between shardings
+    (test_parallel.py asserts bit-identical rasters).
     """
     h, w, k = geom.height, geom.width, capacity
     n = points_xy.shape[0]
     north_edge = geom.north if north is None else north
     west_edge = geom.west if west is None else west
 
-    col = jnp.floor((points_xy[:, 0] - west_edge) / geom.resolution)
-    row = jnp.floor((north_edge - points_xy[:, 1]) / geom.resolution)
+    col_g = jnp.floor((points_xy[:, 0] - west_edge) / geom.resolution)
+    row_g = jnp.floor((north_edge - points_xy[:, 1]) / geom.resolution)
+    col = col_g + col_offset
+    row = row_g + row_offset
     in_map = (
         valid
         & (col >= 0)
@@ -110,9 +121,14 @@ def bin_points(
     rowi = jnp.clip(row.astype(jnp.int32), 0, h - 1)
     cell_id = jnp.where(in_map, rowi * w + coli, h * w)  # invalid -> sentinel
 
-    # Cell-relative offsets (meters from owning cell center).
-    ce = west_edge + (coli.astype(points_xy.dtype) + 0.5) * geom.resolution
-    cn = north_edge - (rowi.astype(points_xy.dtype) + 0.5) * geom.resolution
+    # Cell-relative offsets (meters from owning cell center), computed from
+    # the GLOBAL cell index (integer un-shift, exact) and the global edges.
+    ce = west_edge + (
+        (coli - col_offset).astype(points_xy.dtype) + 0.5
+    ) * geom.resolution
+    cn = north_edge - (
+        (rowi - row_offset).astype(points_xy.dtype) + 0.5
+    ) * geom.resolution
 
     # Two-operand stable sort (cell id, point index): sort cost scales with
     # carried bytes, so ranking 8 B/point instead of dragging the three
@@ -330,8 +346,8 @@ def idw_to_grid(
     )
     binned = bin_points(
         points_xy, payload, valid, ext_geom, capacity,
-        north=geom.north + halo * geom.resolution,
-        west=geom.west - halo * geom.resolution,
+        north=geom.north, west=geom.west,
+        row_offset=halo, col_offset=halo,
     )
     if kernel == "pallas":
         from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas

@@ -68,13 +68,13 @@ def _dsm_band_update(elevation_band, points, valid, geom, cfg: DsmConfig,
         band_h + 2 * halo, geom.width + 2 * halo,
     )
     row0 = jax.lax.axis_index(axis_name) * band_h
-    north_ext = geom.north - (row0 - halo).astype(jnp.float32) \
-        * geom.resolution
-    west_ext = geom.west - halo * geom.resolution
-
+    # assignment + center arithmetic against the GLOBAL edges; only the
+    # integer index shift is band-local — bit-for-bit the arithmetic of
+    # the single-device path (see bin_points docstring)
     binned = bin_points(
         points[:, :2], points[:, 2], valid, ext_geom, cfg.bin_capacity,
-        north=north_ext, west=west_ext,
+        north=geom.north, west=geom.west,
+        row_offset=halo - row0, col_offset=halo,
     )
     idw_kw = dict(
         radius_sq=cfg.interpolation_radius_sq,

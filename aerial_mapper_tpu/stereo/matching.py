@@ -33,20 +33,35 @@ INVALID_DISPARITY = 1.0  # kMaxInvalidDisparity (common.h / densifier.cpp:60)
 _BIG = 1.0e9
 
 
+def _big_for(dtype):
+    """Invalid-cost sentinel (Python scalar): dtype max for ints, 1e9 for
+    floats. Every masked-cost site (border mask, uniqueness, LR shear
+    fill) uses this so the int16 cost-volume path carries a representable
+    sentinel."""
+    if jnp.issubdtype(dtype, jnp.integer):
+        return int(jnp.iinfo(dtype).max)
+    return _BIG
+
+
 def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
     """Sum over a k x k window (edge-padded), via integral images.
 
     O(1) per pixel independent of k — the reason we can afford block 15.
+    Integer inputs accumulate the integral in int32 (a 15-wide running sum
+    along a 496-row axis overflows int16) and store the windowed sums back
+    in the input dtype, so an int16 cost volume stays int16 between axes —
+    half the HBM traffic of the float path.
     """
     r = k // 2
+    integer = jnp.issubdtype(x.dtype, jnp.integer)
     for ax in axes:
         pad = [(0, 0)] * x.ndim
         pad[ax] = (r + 1, r)
         xp = jnp.pad(x, pad, mode="edge")
-        cs = jnp.cumsum(xp, axis=ax)
+        cs = jnp.cumsum(xp.astype(jnp.int32) if integer else xp, axis=ax)
         upper = jax.lax.slice_in_dim(cs, k, cs.shape[ax], axis=ax % x.ndim)
         lower = jax.lax.slice_in_dim(cs, 0, cs.shape[ax] - k, axis=ax % x.ndim)
-        x = upper - lower
+        x = (upper - lower).astype(x.dtype) if integer else upper - lower
     return x
 
 
@@ -159,20 +174,25 @@ def _wta_subpixel(cost: jax.Array, min_disp: int):
     best = jnp.argmin(cost, axis=0)  # [H, W]
     c0 = jnp.min(cost, axis=0)
     d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
+    zero = jnp.zeros((), cost.dtype)
 
     def sel(off):
         # cost at disparity best+off as a masked reduction — leading-axis
         # take_along_axis gathers cost ~15 ms on [64, 480, 752]; this is
-        # two streaming passes
+        # two streaming passes. Exactly one plane is selected per pixel,
+        # so an int16 volume cannot overflow the sum.
         idx = jnp.clip(best + off, 0, num_disp - 1)
-        return jnp.sum(jnp.where(d_idx == idx[None], cost, 0.0), axis=0)
+        return jnp.sum(jnp.where(d_idx == idx[None], cost, zero), axis=0)
 
-    cm, cp = sel(-1), sel(+1)
-    denom = cm - 2.0 * c0 + cp
+    cm = sel(-1).astype(jnp.float32)
+    cp = sel(+1).astype(jnp.float32)
+    c0f = c0.astype(jnp.float32)
+    denom = cm - 2.0 * c0f + cp
     delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
     interior = (best > 0) & (best < num_disp - 1)
-    disp = best.astype(cost.dtype) + jnp.where(interior, delta, 0.0) + min_disp
+    disp = best.astype(jnp.float32) + jnp.where(interior, delta, 0.0) \
+        + min_disp
     del d_idx
     return disp, c0, best
 
@@ -181,11 +201,11 @@ def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
                      ratio: int) -> jax.Array:
     """cv::StereoBM uniqueness: reject if some d' with |d'-best|>1 has
     cost < c0 * (1 + ratio/100)."""
-    num_disp = cost.shape[0]
     d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
     away = jnp.abs(d_idx - best[None]) > 1
-    runner = jnp.min(jnp.where(away, cost, _BIG), axis=0)
-    return runner >= c0 * (1.0 + ratio / 100.0)
+    runner = jnp.min(jnp.where(away, cost, _big_for(cost.dtype)), axis=0)
+    return runner.astype(jnp.float32) >= \
+        c0.astype(jnp.float32) * (1.0 + ratio / 100.0)
 
 
 def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
@@ -219,15 +239,16 @@ def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
     the synthetic set to within the post-filter tolerance.
     """
     num_disp, h, w = cost.shape
+    big = _big_for(cost.dtype)
     shifted = (
         jnp.pad(cost, ((0, 0), (0, 0), (0, min_disp)),
-                constant_values=_BIG)[:, :, min_disp:]
+                constant_values=big)[:, :, min_disp:]
         if min_disp else cost
     )
     # right-view volume + its per-column minima; winner marks computed in
     # right coordinates (bool, 1/4 the bytes of the float volume), then
     # sheared BACK to left coordinates — both shears are layout-level
-    cost_r = _diag_shear(shifted, sign=+1, fill=_BIG)
+    cost_r = _diag_shear(shifted, sign=+1, fill=big)
     m_r = jnp.min(cost_r, axis=0)  # [H, W]
     win_r = cost_r == m_r[None]  # [D, H, W] marks in right coords
     aligned = _diag_shear(win_r, sign=-1, fill=False)
@@ -274,16 +295,35 @@ def block_matching_disparity(
 
     ``mask``: bool [H, W] valid-rectification region (Rectifier mask); pixels
     outside get INVALID_DISPARITY like block-matching-bm.cpp:29-37.
+
+    With ``cfg.integer_costs`` (default) the rectified images are rounded
+    to integers — exactly what cv::StereoBM sees (its rectified inputs are
+    CV_8U and its prefilter output is uint8, so its SAD costs are ints) —
+    and the [D, H, W] cost volume is carried in int16: every cost-volume
+    pass (shear, box sums, WTA, uniqueness, LR shears) moves half the HBM
+    bytes of the float32 formulation. The int16 window-sum bound
+    2*pre_filter_cap*block_size^2 is checked statically; configs that
+    could overflow fall back to float32.
     """
     h, w = left.shape
-    lf = _xsobel_prefilter(left.astype(jnp.float32), cfg.pre_filter_cap)
-    rf = _xsobel_prefilter(right.astype(jnp.float32), cfg.pre_filter_cap)
+    use_int = cfg.integer_costs and (
+        2 * cfg.pre_filter_cap * cfg.block_size ** 2 < 32767
+    )
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+    if use_int:
+        left_f = jnp.round(left_f)
+        right_f = jnp.round(right_f)
+    lf = _xsobel_prefilter(left_f, cfg.pre_filter_cap)
+    rf = _xsobel_prefilter(right_f, cfg.pre_filter_cap)
+    lfq = lf.astype(jnp.int16) if use_int else lf
+    rfq = rf.astype(jnp.int16) if use_int else rf
 
     cost = _cost_volume_sad(
-        lf, rf, cfg.num_disparities, cfg.min_disparity, cfg.block_size
+        lfq, rfq, cfg.num_disparities, cfg.min_disparity, cfg.block_size
     )
     border = _border_mask(h, w, cfg.num_disparities, cfg.min_disparity)
-    cost = jnp.where(border, cost, _BIG)
+    cost = jnp.where(border, cost, _big_for(cost.dtype))
 
     disp, c0, best = _wta_subpixel(cost, cfg.min_disparity)
 

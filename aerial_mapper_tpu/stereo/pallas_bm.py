@@ -124,8 +124,17 @@ def block_matching_disparity_pallas(
     pad_h = (-h) % tile_h
     lpad = d_num - 1 + cfg.min_disparity
 
-    lf = _xsobel_prefilter(left.astype(jnp.float32), cfg.pre_filter_cap)
-    rf = _xsobel_prefilter(right.astype(jnp.float32), cfg.pre_filter_cap)
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+    if cfg.integer_costs:
+        # match the XLA matcher's cv-faithful quantization (see
+        # block_matching_disparity): integer-valued images -> integer SADs,
+        # so the two paths' winners and sub-pixel offsets agree exactly
+        # (the VMEM kernel keeps float math; the values are integers)
+        left_f = jnp.round(left_f)
+        right_f = jnp.round(right_f)
+    lf = _xsobel_prefilter(left_f, cfg.pre_filter_cap)
+    rf = _xsobel_prefilter(right_f, cfg.pre_filter_cap)
 
     lf_p = jnp.pad(lf, ((r, r + pad_h), (lpad + r, r)), mode="edge")
     rf_p = jnp.pad(rf, ((r, r + pad_h), (lpad + r, r)), mode="edge")

@@ -170,9 +170,15 @@ def worker_e2e(k: int):
     # combined program XLA re-lays the uint8 parameter out on every call
     # (measured +0.28 s/step vs +0 for float32, while each stage in its
     # own program is faster with uint8). Upcast ONCE on device and feed
-    # float32 to both consumers.
+    # float32 to both consumers. The same quirk holds (mildly) even for
+    # the SMALL uint8 pair stacks (2 x 12 MB): A/B'd 0.474 s/step f32 vs
+    # 0.482 s uint8, so f32 operands stay the default
+    # (BENCH_E2E_U8_STEREO=1 re-enables the uint8 variant).
+    images_u8 = images
     images = images.astype(jnp.float32)
-    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    stereo_src = images_u8 if os.environ.get(
+        "BENCH_E2E_U8_STEREO", "0") == "1" else images
+    ops = prepare_pair_operands(cam.K, Rs, ts, stereo_src, use_every_nth=7)
 
     @jax.jit
     def step(eps, ops, layers, images):
