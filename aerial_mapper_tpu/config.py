@@ -148,6 +148,19 @@ class OrthoHomographyConfig:
     origin: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     batch: bool = True
     image_chunk: int = 8
+    # Per-image accumulation window (mosaic pixels). A homography maps the
+    # image rectangle to a convex quad (lines to lines), so its footprint's
+    # bounding box is spanned by the 4 warped corners; warping only a
+    # [window_rows, window_cols] slab around it instead of the full mosaic
+    # cuts the per-image gather from Hm*Wm to the footprint size. 0 = full
+    # mosaic (always exact). The batch driver sizes the window from the
+    # host-side pose set (auto_window); images whose corners are not all
+    # strictly in front of the ground plane contribute nothing under a
+    # window (the full path masks them per pixel) — the driver falls back
+    # to the full path when it detects such poses.
+    window_rows: int = 0
+    window_cols: int = 0
+    auto_window: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,6 +135,97 @@ def _warp_accumulate(state: MosaicState, image, quat, t, cam: Camera,
     )
 
 
+def _corner_bbox_mosaic(H, cam: Camera):
+    """Warped-footprint bbox on the mosaic from the 4 image corners.
+
+    ``H`` maps mosaic->image; the footprint quad on the mosaic is the
+    image rectangle under H^-1, and a projective map keeps edges straight,
+    so the bbox is spanned by the corners. Returns (row_min, row_max,
+    col_min, col_max, ok) — ok requires all corners strictly in front
+    (w > 0), i.e. a bounded footprint.
+    """
+    Hi = jnp.linalg.inv(H)
+    w, h = cam.width - 1.0, cam.height - 1.0
+    corners = jnp.array(
+        [[0.0, 0.0, 1.0], [w, 0.0, 1.0], [w, h, 1.0], [0.0, h, 1.0]],
+        jnp.float32,
+    ).T  # [3, 4]
+    mc = Hi @ corners
+    z = mc[2]
+    ok = jnp.all(z > 1e-9)
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    cols = jnp.where(ok, mc[0] / zs, 0.0)
+    rows = jnp.where(ok, mc[1] / zs, 0.0)
+    return (jnp.min(rows), jnp.max(rows), jnp.min(cols), jnp.max(cols), ok)
+
+
+def _warp_accumulate_windowed(state: MosaicState, image, quat, t,
+                              cam: Camera,
+                              cfg: OrthoHomographyConfig) -> MosaicState:
+    """Accumulate one image inside its [window_rows, window_cols] slab.
+
+    Exact (bit-identical per-pixel math to ``_warp_accumulate``) whenever
+    the footprint bbox fits the window — every skipped mosaic pixel has
+    feather weight exactly 0. Images with an unbounded footprint (a corner
+    at/behind the ground-plane horizon) contribute nothing; use the full
+    path (window 0) for such poses. 249 x 752x480 images into a 1000^2
+    mosaic: the full-mosaic inverse warp gathers 249 M texels, the window
+    only the footprints.
+    """
+    hm, wm = cfg.height_mosaic_pixels, cfg.width_mosaic_pixels
+    wr, wc = cfg.window_rows, cfg.window_cols
+    H = _plane_homography_mosaic_to_image(quat, t, cam, cfg)
+    rmin, rmax, cmin, cmax, ok = _corner_bbox_mosaic(H, cam)
+    row0 = jnp.clip(jnp.floor(rmin).astype(jnp.int32) - 1, 0, max(hm - wr, 0))
+    col0 = jnp.clip(jnp.floor(cmin).astype(jnp.int32) - 1, 0, max(wm - wc, 0))
+    # a window that cannot cover the bbox would silently drop texels —
+    # contribute nothing instead (the driver sizes windows so this never
+    # triggers for valid poses)
+    ok &= (rmax - rmin) < (wr - 2)
+    ok &= (cmax - cmin) < (wc - 2)
+
+    row = jax.lax.broadcasted_iota(jnp.float32, (wr, wc), 0) \
+        + row0.astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.float32, (wr, wc), 1) \
+        + col0.astype(jnp.float32)
+    x = H[0, 0] * col + H[0, 1] * row + H[0, 2]
+    y = H[1, 0] * col + H[1, 1] * row + H[1, 2]
+    z = H[2, 0] * col + H[2, 1] * row + H[2, 2]
+    behind = z <= 1e-9
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = x / z
+    v = y / z
+    iu = jnp.round(u).astype(jnp.int32)
+    iv = jnp.round(v).astype(jnp.int32)
+    inside = (
+        (iu >= 0) & (iv >= 0) & (iu <= cam.width - 1)
+        & (iv <= cam.height - 1) & ~behind & ok
+    )
+    texel = image[jnp.clip(iv, 0, cam.height - 1),
+                  jnp.clip(iu, 0, cam.width - 1)]
+    wgt = jnp.where(inside, _feather_weight(u, v, cam.width, cam.height), 0.0)
+    ws = jax.lax.dynamic_slice(state.weighted_sum, (row0, col0), (wr, wc)) \
+        + wgt * texel.astype(jnp.float32)
+    wn = jax.lax.dynamic_slice(state.weight_sum, (row0, col0), (wr, wc)) \
+        + wgt
+    return MosaicState(
+        weighted_sum=jax.lax.dynamic_update_slice(
+            state.weighted_sum, ws, (row0, col0)),
+        weight_sum=jax.lax.dynamic_update_slice(
+            state.weight_sum, wn, (row0, col0)),
+    )
+
+
+def _accumulate_fn(cam: Camera, cfg: OrthoHomographyConfig):
+    windowed = (
+        cfg.window_rows > 0
+        and cfg.window_cols > 0
+        and (cfg.window_rows < cfg.height_mosaic_pixels
+             or cfg.window_cols < cfg.width_mosaic_pixels)
+    )
+    return _warp_accumulate_windowed if windowed else _warp_accumulate
+
+
 @partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion"))
 def homography_mosaic_update(
     state: MosaicState,
@@ -149,7 +240,7 @@ def homography_mosaic_update(
     (updateOrthomosaic, ortho-forward-homography.cc:74-132)."""
     if needs_undistortion and cam.dist_kind != "none":
         image = undistort_image(cam, image)
-    return _warp_accumulate(state, image, quat_G_C, t_G_C, cam, cfg)
+    return _accumulate_fn(cam, cfg)(state, image, quat_G_C, t_G_C, cam, cfg)
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion"))
@@ -164,12 +255,13 @@ def homography_mosaic_batch(
     """Batch mode (ortho-forward-homography.cc:134-189): all images blended
     in one pass, unobserved pixels set to 0. Returns the [Hm, Wm] mosaic."""
     state = create_mosaic_state(cfg)
+    accumulate = _accumulate_fn(cam, cfg)
 
     def body(carry, inp):
         image, quat, t = inp
         if needs_undistortion and cam.dist_kind != "none":
             image = undistort_image(cam, image)
-        return _warp_accumulate(carry, image, quat, t, cam, cfg), None
+        return accumulate(carry, image, quat, t, cam, cfg), None
 
     state, _ = jax.lax.scan(body, state, (images, quats_G_C, t_G_C))
     return state.mosaic

@@ -173,6 +173,88 @@ def test_homography_mosaic_matches_ground_truth_texture():
     assert np.all(mosaic[~observed] == 0.0)
 
 
+def test_homography_windowed_accumulate_matches_full():
+    """The per-image bbox window skips only zero-weight pixels, so the
+    windowed mosaic must equal the full-mosaic warp bit for bit."""
+    import dataclasses
+
+    flat = SyntheticScene(base_elevation=414.0, relief_amplitude=0.0)
+    Rs, ts = make_survey_poses(8, altitude=514.0, spacing=12.0)
+    images = jnp.stack(
+        [
+            render_image(flat, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    cfg_full = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0,
+        width_mosaic_pixels=256,
+        height_mosaic_pixels=256,
+        resolution=1.0,
+        origin=(45.0, 0.0, 0.0),
+    )
+    # the 320x240 camera 100 m above the plane at 1 m/px -> ~100x75 px
+    # footprint; 128x128 covers it with margin
+    cfg_win = dataclasses.replace(cfg_full, window_rows=128, window_cols=128)
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    full = np.asarray(homography_mosaic_batch(
+        images, quats, jnp.asarray(ts, jnp.float32), CAM, cfg_full,
+        needs_undistortion=False,
+    ))
+    win = np.asarray(homography_mosaic_batch(
+        images, quats, jnp.asarray(ts, jnp.float32), CAM, cfg_win,
+        needs_undistortion=False,
+    ))
+    assert (full > 0).mean() > 0.1
+    np.testing.assert_array_equal(win, full)
+
+
+def test_homography_auto_window_driver_sizing():
+    """_homography_auto_window must cover every footprint (windowed run
+    equals full run) and reject below-horizon poses."""
+    import dataclasses
+
+    from aerial_mapper_tpu.pipeline.batch import _homography_auto_window
+
+    flat = SyntheticScene(base_elevation=414.0, relief_amplitude=0.0)
+    Rs, ts = make_survey_poses(6, altitude=514.0, spacing=15.0)
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0, width_mosaic_pixels=256,
+        height_mosaic_pixels=256, resolution=1.0, origin=(45.0, 0.0, 0.0),
+    )
+    win = _homography_auto_window(cfg, CAM, quats, np.asarray(ts))
+    assert win is not None
+    wr, wc = win
+    assert 0 < wr <= 256 and 0 < wc <= 256
+
+    images = jnp.stack(
+        [
+            render_image(flat, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    qj = jnp.asarray(quats, jnp.float32)
+    tj = jnp.asarray(ts, jnp.float32)
+    full = np.asarray(homography_mosaic_batch(
+        images, qj, tj, CAM, cfg, needs_undistortion=False))
+    win_cfg = dataclasses.replace(cfg, window_rows=wr, window_cols=wc)
+    winm = np.asarray(homography_mosaic_batch(
+        images, qj, tj, CAM, win_cfg, needs_undistortion=False))
+    np.testing.assert_array_equal(winm, full)
+
+    # a camera looking at the horizon has an unbounded footprint
+    R_horiz = np.array([[1.0, 0.0, 0.0],
+                        [0.0, 0.0, -1.0],
+                        [0.0, 1.0, 0.0]])  # optical axis along +north
+    q_h = np.asarray(matrix_to_quat(jnp.asarray(R_horiz[None], jnp.float32)))
+    assert _homography_auto_window(
+        cfg, CAM, q_h, np.array([[0.0, 0.0, 514.0]])
+    ) is None
+
+
 def test_ortho_from_points_parity(rng):
     n = 400
     pts = np.stack(

@@ -319,6 +319,115 @@ def case_idw():
     print(f"idw ({p.shape[0] / 1e6:.1f}M points): {ms:.1f} ms")
 
 
+def case_homog():
+    """Forward-homography feather mosaic: full-mosaic vs windowed warp."""
+    import dataclasses
+
+    import jax
+
+    from aerial_mapper_tpu.config import OrthoHomographyConfig
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.ortho.homography import homography_mosaic_batch
+    from aerial_mapper_tpu.pipeline.batch import _homography_auto_window
+
+    import jax.numpy as jnp
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    images_f = images.astype(jnp.float32)
+    ts_j = jnp.asarray(ts, jnp.float32)
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0, width_mosaic_pixels=1000,
+        height_mosaic_pixels=1000, resolution=1.0, origin=(0.0, 0.0, 0.0),
+    )
+    n = images.shape[0]
+    for label, c in (
+        ("full", cfg),
+        ("windowed", None),
+    ):
+        if c is None:
+            win = _homography_auto_window(cfg, cam, np.asarray(quats), ts)
+            if win is None:
+                print("homog windowed: auto window unavailable")
+                continue
+            c = dataclasses.replace(cfg, window_rows=win[0],
+                                    window_cols=win[1])
+            print(f"homog window: {win[0]}x{win[1]}")
+
+        @jax.jit
+        def step(x, c=c):
+            m = homography_mosaic_batch(
+                images_f + x * 1e-30, quats, ts_j, cam, c,
+                needs_undistortion=False)
+            return jnp.sum(m) * 1e-9
+
+        ms = slope_ms(step, jnp.float32(0.0), float, k_small=1, k_large=4,
+                      reps=3)
+        print(f"homog {label} ({n} images, 1000x1000): {ms:.0f} ms "
+              f"({n / ms * 1e3:.0f} images/s)")
+
+
+def case_idw_stages():
+    """Split the DSM stage: binning (sort + slot gather) vs accumulation."""
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig, DsmConfig
+    from aerial_mapper_tpu.dsm.idw import (
+        _window_halfwidth,
+        bin_points,
+        binned_idw,
+    )
+    from aerial_mapper_tpu.mapgrid.grid import MapGeometry
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    import jax.numpy as jnp
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    pts, intens, valid = process_pairs_batched(
+        ops, cam, matcher="bm",
+        bm_cfg=BlockMatchingConfig(num_disparities=64), batch_chunk=1)
+    p = pts.reshape(-1, 3)
+    v = valid.reshape(-1)
+    cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    halo = _window_halfwidth(cfg.max_radius_sq, geom.resolution)
+    ext_geom = MapGeometry(
+        geom.center_easting, geom.center_northing, geom.resolution,
+        geom.height + 2 * halo, geom.width + 2 * halo,
+    )
+
+    @jax.jit
+    def step_bin(x):
+        b = bin_points(p[:, :2] + x * 1e-30, p[:, 2], v, ext_geom,
+                       cfg.bin_capacity, north=geom.north, west=geom.west,
+                       row_offset=halo, col_offset=halo)
+        return (jnp.sum(b.payload) + jnp.sum(b.count)) * 1e-9
+
+    ms_bin = slope_ms(step_bin, jnp.float32(0.0), float, k_small=2,
+                      k_large=10, reps=3)
+    print(f"idw_stages bin ({p.shape[0] / 1e6:.1f}M pts): {ms_bin:.1f} ms")
+
+    binned = jax.jit(
+        lambda: bin_points(p[:, :2], p[:, 2], v, ext_geom, cfg.bin_capacity,
+                           north=geom.north, west=geom.west,
+                           row_offset=halo, col_offset=halo)
+    )()
+
+    @jax.jit
+    def step_acc(x):
+        vals, hit = binned_idw(
+            binned._replace(de=binned.de + x * 1e-30), ext_geom,
+            radius_sq=cfg.interpolation_radius_sq, adaptive=True,
+            growth=1.1, max_radius_sq=7.0)
+        return jnp.sum(jnp.where(hit, vals, 0.0)) * 1e-9
+
+    ms_acc = slope_ms(step_acc, jnp.float32(0.0), float, k_small=2,
+                      k_large=10, reps=3)
+    print(f"idw_stages accumulate: {ms_acc:.1f} ms")
+
+
 CASES = {
     "ortho_score": case_ortho_score,
     "bm": case_bm,
@@ -326,6 +435,8 @@ CASES = {
     "bm_cost_stages": case_bm_cost_stages,
     "sgm": case_sgm,
     "idw": case_idw,
+    "idw_stages": case_idw_stages,
+    "homog": case_homog,
     "stereo_e2e": case_stereo_e2e,
 }
 
