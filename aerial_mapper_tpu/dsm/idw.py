@@ -141,7 +141,13 @@ def bin_points(
     # measured 895 -> 155 -> 116 ms for 12.6M points on a v5e. Stability
     # keeps the deterministic first-K capacity policy bit-for-bit.
     idx = jnp.arange(n, dtype=jnp.int32)
-    sorted_ids, sorted_idx = jax.lax.sort((cell_id, idx), num_keys=1)
+    # (cell, idx) pairs are all distinct, so an unstable 2-key sort yields
+    # the same total order as a stable 1-key sort (the deterministic
+    # first-K policy is preserved bit-for-bit) and measures ~4% faster on
+    # a v5e (30.5 -> 29.2 ms for 12.6M pairs)
+    sorted_ids, sorted_idx = jax.lax.sort(
+        (cell_id, idx), num_keys=2, is_stable=False
+    )
     packed_src = jnp.stack(
         [points_xy[:, 0] - ce, points_xy[:, 1] - cn,
          payload.astype(points_xy.dtype)], axis=-1

@@ -115,6 +115,27 @@ def test_block_matching_on_synthetic_pair():
     _disparity_quality(disp, rect, t1)
 
 
+def test_block_matching_float_costs_path():
+    """integer_costs=False (the float cost volume) must match the default
+    int16 path closely: same quality bar and near-identical disparities
+    (they differ only through the cv-style input quantization)."""
+    rect, R, t1, t2 = render_rect_pair()
+    d_int = np.asarray(block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        BlockMatchingConfig(num_disparities=48),
+    ))
+    d_flt = np.asarray(block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        BlockMatchingConfig(num_disparities=48, integer_costs=False),
+    ))
+    _disparity_quality(jnp.asarray(d_flt), rect, t1)
+    both = (d_int > 1.0) & (d_flt > 1.0)
+    assert both.mean() > 0.2
+    err = np.abs(d_int[both] - d_flt[both])
+    assert np.median(err) < 0.1, f"median int-vs-float {np.median(err)}"
+    assert (err <= 1.0).mean() > 0.95
+
+
 def test_sgm_on_synthetic_pair():
     rect, R, t1, t2 = render_rect_pair()
     disp = sgm_disparity(

@@ -353,13 +353,17 @@ def case_homog():
                                     window_cols=win[1])
             print(f"homog window: {win[0]}x{win[1]}")
 
+        # images ride as an operand: a closed-over stack becomes a 360 MB
+        # HLO constant and the axon remote-compile endpoint rejects the
+        # upload (HTTP 413)
         @jax.jit
-        def step(x, c=c):
+        def step_op(x, imgs, c=c):
             m = homography_mosaic_batch(
-                images_f + x * 1e-30, quats, ts_j, cam, c,
+                imgs + x * 1e-30, quats, ts_j, cam, c,
                 needs_undistortion=False)
             return jnp.sum(m) * 1e-9
 
+        step = lambda x: step_op(x, images_f)  # noqa: E731
         ms = slope_ms(step, jnp.float32(0.0), float, k_small=1, k_large=4,
                       reps=3)
         print(f"homog {label} ({n} images, 1000x1000): {ms:.0f} ms "
