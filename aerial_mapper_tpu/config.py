@@ -150,14 +150,17 @@ class OrthoHomographyConfig:
     image_chunk: int = 8
     # Per-image accumulation window (mosaic pixels). A homography maps the
     # image rectangle to a convex quad (lines to lines), so its footprint's
-    # bounding box is spanned by the 4 warped corners; warping only a
-    # [window_rows, window_cols] slab around it instead of the full mosaic
-    # cuts the per-image gather from Hm*Wm to the footprint size. 0 = full
-    # mosaic (always exact). The batch driver sizes the window from the
-    # host-side pose set (auto_window); images whose corners are not all
-    # strictly in front of the ground plane contribute nothing under a
-    # window (the full path masks them per pixel) — the driver falls back
-    # to the full path when it detects such poses.
+    # bounding box is spanned by the 4 warped corners of the half-pixel-
+    # expanded source rectangle ([-0.5, W-0.5]: everything INTER_NEAREST
+    # accepts); warping only a [window_rows, window_cols] slab around it
+    # instead of the full mosaic cuts the per-image gather from Hm*Wm to
+    # the footprint size. 0 = full mosaic (always exact). The batch driver
+    # sizes the window from the host-side pose set (auto_window) and uses
+    # the full path whenever any footprint is unbounded (corner at/behind
+    # the ground-plane horizon) or larger than the mosaic. A HAND-SET
+    # window smaller than some image's footprint drops that image's whole
+    # contribution (the runtime fit-check refuses to clip silently) —
+    # prefer auto_window.
     window_rows: int = 0
     window_cols: int = 0
     auto_window: bool = True

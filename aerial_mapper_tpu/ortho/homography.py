@@ -106,12 +106,12 @@ def _feather_weight(u, v, width, height):
     return jnp.clip(dist * _FEATHER_SHARPNESS, 0.0, 1.0)
 
 
-def _warp_accumulate(state: MosaicState, image, quat, t, cam: Camera,
-                     cfg: OrthoHomographyConfig) -> MosaicState:
-    hm, wm = cfg.height_mosaic_pixels, cfg.width_mosaic_pixels
-    H = _plane_homography_mosaic_to_image(quat, t, cam, cfg)
-    row = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 0)
-    col = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 1)
+def _warp_feather(H, row, col, image, cam: Camera):
+    """Shared per-pixel warp + feather body: mosaic grid (row, col) ->
+    (texel, weight). Weight is exactly 0 outside the accepted source
+    region iu/iv in [0, W-1]x[0, H-1] (i.e. u in [-0.5, W-0.5)). BOTH the
+    full-mosaic and windowed accumulates call this single helper — the
+    windowed==full bit-identity contract depends on them sharing it."""
     x = H[0, 0] * col + H[0, 1] * row + H[0, 2]
     y = H[1, 0] * col + H[1, 1] * row + H[1, 2]
     z = H[2, 0] * col + H[2, 1] * row + H[2, 2]
@@ -119,7 +119,6 @@ def _warp_accumulate(state: MosaicState, image, quat, t, cam: Camera,
     z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
     u = x / z
     v = y / z
-
     iu = jnp.round(u).astype(jnp.int32)  # INTER_NEAREST like the reference
     iv = jnp.round(v).astype(jnp.int32)
     inside = (
@@ -129,28 +128,51 @@ def _warp_accumulate(state: MosaicState, image, quat, t, cam: Camera,
     texel = image[jnp.clip(iv, 0, cam.height - 1),
                   jnp.clip(iu, 0, cam.width - 1)]
     wgt = jnp.where(inside, _feather_weight(u, v, cam.width, cam.height), 0.0)
+    return texel, wgt
+
+
+def _warp_accumulate(state: MosaicState, image, quat, t, cam: Camera,
+                     cfg: OrthoHomographyConfig) -> MosaicState:
+    hm, wm = cfg.height_mosaic_pixels, cfg.width_mosaic_pixels
+    H = _plane_homography_mosaic_to_image(quat, t, cam, cfg)
+    row = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 0)
+    col = jax.lax.broadcasted_iota(jnp.float32, (hm, wm), 1)
+    texel, wgt = _warp_feather(H, row, col, image, cam)
     return MosaicState(
         weighted_sum=state.weighted_sum + wgt * texel.astype(jnp.float32),
         weight_sum=state.weight_sum + wgt,
     )
 
 
+def _accept_corners(cam: Camera):
+    """Corners of the ACCEPTED source region, homogeneous [3, 4].
+
+    INTER_NEAREST accepts u in [-0.5, W-0.5] (iu = round(u) in [0, W-1]),
+    not just [0, W-1] — the footprint of nonzero-weight mosaic pixels is
+    the pre-image of this half-pixel-expanded rectangle. Using the
+    unexpanded corners undercounts the bbox by up to half an image pixel,
+    which on a mosaic finer than ~2 px per image pixel drops real fringe
+    texels (caught by code review + fine-resolution repro).
+    """
+    w, h = cam.width - 0.5, cam.height - 0.5
+    return jnp.array(
+        [[-0.5, -0.5, 1.0], [w, -0.5, 1.0], [w, h, 1.0], [-0.5, h, 1.0]],
+        jnp.float32,
+    ).T
+
+
 def _corner_bbox_mosaic(H, cam: Camera):
-    """Warped-footprint bbox on the mosaic from the 4 image corners.
+    """Warped-footprint bbox on the mosaic from the 4 accepted-region
+    corners.
 
     ``H`` maps mosaic->image; the footprint quad on the mosaic is the
-    image rectangle under H^-1, and a projective map keeps edges straight,
-    so the bbox is spanned by the corners. Returns (row_min, row_max,
-    col_min, col_max, ok) — ok requires all corners strictly in front
-    (w > 0), i.e. a bounded footprint.
+    accepted source rectangle under H^-1, and a projective map keeps edges
+    straight, so the bbox is spanned by the corners. Returns (row_min,
+    row_max, col_min, col_max, ok) — ok requires all corners strictly in
+    front (w > 0), i.e. a bounded footprint.
     """
     Hi = jnp.linalg.inv(H)
-    w, h = cam.width - 1.0, cam.height - 1.0
-    corners = jnp.array(
-        [[0.0, 0.0, 1.0], [w, 0.0, 1.0], [w, h, 1.0], [0.0, h, 1.0]],
-        jnp.float32,
-    ).T  # [3, 4]
-    mc = Hi @ corners
+    mc = Hi @ _accept_corners(cam)
     z = mc[2]
     ok = jnp.all(z > 1e-9)
     zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
@@ -188,22 +210,8 @@ def _warp_accumulate_windowed(state: MosaicState, image, quat, t,
         + row0.astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.float32, (wr, wc), 1) \
         + col0.astype(jnp.float32)
-    x = H[0, 0] * col + H[0, 1] * row + H[0, 2]
-    y = H[1, 0] * col + H[1, 1] * row + H[1, 2]
-    z = H[2, 0] * col + H[2, 1] * row + H[2, 2]
-    behind = z <= 1e-9
-    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    u = x / z
-    v = y / z
-    iu = jnp.round(u).astype(jnp.int32)
-    iv = jnp.round(v).astype(jnp.int32)
-    inside = (
-        (iu >= 0) & (iv >= 0) & (iu <= cam.width - 1)
-        & (iv <= cam.height - 1) & ~behind & ok
-    )
-    texel = image[jnp.clip(iv, 0, cam.height - 1),
-                  jnp.clip(iu, 0, cam.width - 1)]
-    wgt = jnp.where(inside, _feather_weight(u, v, cam.width, cam.height), 0.0)
+    texel, wgt = _warp_feather(H, row, col, image, cam)
+    wgt = jnp.where(ok, wgt, 0.0)
     ws = jax.lax.dynamic_slice(state.weighted_sum, (row0, col0), (wr, wc)) \
         + wgt * texel.astype(jnp.float32)
     wn = jax.lax.dynamic_slice(state.weight_sum, (row0, col0), (wr, wc)) \
@@ -217,13 +225,71 @@ def _warp_accumulate_windowed(state: MosaicState, image, quat, t,
 
 
 def _accumulate_fn(cam: Camera, cfg: OrthoHomographyConfig):
+    # a window larger than the mosaic would be an invalid dynamic_slice;
+    # equal-size windows are just the full path
     windowed = (
-        cfg.window_rows > 0
-        and cfg.window_cols > 0
+        0 < cfg.window_rows <= cfg.height_mosaic_pixels
+        and 0 < cfg.window_cols <= cfg.width_mosaic_pixels
         and (cfg.window_rows < cfg.height_mosaic_pixels
              or cfg.window_cols < cfg.width_mosaic_pixels)
     )
     return _warp_accumulate_windowed if windowed else _warp_accumulate
+
+
+def auto_window(cfg: OrthoHomographyConfig, cam: Camera, quats_c, trans_c):
+    """Host-side window sizing: max footprint bbox over all poses
+    (+margin, lane-aligned).
+
+    Mirrors the device math above — ``_plane_homography_mosaic_to_image``
+    for H and ``_accept_corners`` (the half-pixel-expanded source
+    rectangle) for the bbox — in numpy, because evaluating the jax
+    versions per pose through the remote-TPU tunnel costs a round trip
+    each. Keep the two in sync; test_ortho asserts windowed == full on a
+    fine-resolution mosaic, which catches drift in either copy.
+
+    Returns (window_rows, window_cols), or None when (a) any footprint is
+    unbounded (a corner ray at/behind the ground-plane horizon) or (b) a
+    footprint + margin exceeds the mosaic on some axis — capping the
+    window at the mosaic would make the runtime fit-check drop that
+    image's contribution entirely, so the caller must use the exact
+    full-mosaic path instead. Lens distortion never moves the bbox (the
+    image is undistorted before warping; H is pure pinhole).
+    """
+    import numpy as _np
+
+    from aerial_mapper_tpu.io.poses import _rot_matrix_np
+
+    K = _np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                   [0.0, 0.0, 1.0]])
+    res = cfg.resolution
+    w2 = cfg.width_mosaic_pixels / 2.0
+    h2 = cfg.height_mosaic_pixels / 2.0
+    M = _np.array(
+        [[res, 0.0, cfg.origin[0] - w2 * res + 0.5 * res],
+         [0.0, -res, cfg.origin[1] + h2 * res - 0.5 * res],
+         [0.0, 0.0, 1.0]]
+    )
+    w, h = cam.width - 0.5, cam.height - 0.5
+    corners = _np.array(
+        [[-0.5, -0.5, 1.0], [w, -0.5, 1.0], [w, h, 1.0], [-0.5, h, 1.0]]
+    ).T
+    dr = dc = 0.0
+    for q, t in zip(_np.asarray(quats_c), _np.asarray(trans_c)):
+        R_cw = _rot_matrix_np(q).T
+        t_cw = -R_cw @ _np.asarray(t, float)
+        col3 = R_cw[:, 2] * cfg.ground_plane_elevation_m + t_cw
+        H = K @ _np.stack([R_cw[:, 0], R_cw[:, 1], col3], axis=1) @ M
+        mc = _np.linalg.inv(H) @ corners
+        if _np.any(mc[2] <= 1e-9):
+            return None
+        rows, cols = mc[1] / mc[2], mc[0] / mc[2]
+        dr = max(dr, float(rows.max() - rows.min()))
+        dc = max(dc, float(cols.max() - cols.min()))
+    wr = (int(_np.ceil(dr)) + 8 + 7) // 8 * 8
+    wc = (int(_np.ceil(dc)) + 8 + 127) // 128 * 128
+    if wr > cfg.height_mosaic_pixels or wc > cfg.width_mosaic_pixels:
+        return None
+    return wr, wc
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion"))

@@ -27,7 +27,10 @@ from aerial_mapper_tpu.io.images import save_image
 from aerial_mapper_tpu.io.pointcloud import save_point_cloud_txt
 from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
 from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
-from aerial_mapper_tpu.ortho.homography import homography_mosaic_batch
+from aerial_mapper_tpu.ortho.homography import (
+    auto_window as _homography_auto_window,
+    homography_mosaic_batch,
+)
 from aerial_mapper_tpu.pipeline.dataset import Dataset
 from aerial_mapper_tpu.utils.timing import StageTimer
 
@@ -276,48 +279,6 @@ def run_ortho_backward_grid(
     return layers, geom
 
 
-def _homography_auto_window(hcfg, cam, quats_c, trans_c):
-    """Host-side max footprint bbox over all poses (+margin, lane-aligned).
-
-    Returns (window_rows, window_cols) for the windowed accumulate in
-    ortho/homography.py, or None when any image's footprint is unbounded
-    (a corner ray at/behind the ground-plane horizon) — the full-mosaic
-    path handles those per pixel. The mosaic-side footprint depends only
-    on the pinhole homography (the image is undistorted before warping),
-    so lens distortion never moves the bbox.
-    """
-    from aerial_mapper_tpu.io.poses import _rot_matrix_np
-
-    K = np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
-                  [0.0, 0.0, 1.0]])
-    res = hcfg.resolution
-    w2 = hcfg.width_mosaic_pixels / 2.0
-    h2 = hcfg.height_mosaic_pixels / 2.0
-    M = np.array(
-        [[res, 0.0, hcfg.origin[0] - w2 * res + 0.5 * res],
-         [0.0, -res, hcfg.origin[1] + h2 * res - 0.5 * res],
-         [0.0, 0.0, 1.0]]
-    )
-    w, h = cam.width - 1.0, cam.height - 1.0
-    corners = np.array(
-        [[0.0, 0.0, 1.0], [w, 0.0, 1.0], [w, h, 1.0], [0.0, h, 1.0]]
-    ).T
-    dr = dc = 0.0
-    for q, t in zip(np.asarray(quats_c), np.asarray(trans_c)):
-        R_cw = _rot_matrix_np(q).T
-        t_cw = -R_cw @ np.asarray(t, float)
-        col3 = R_cw[:, 2] * hcfg.ground_plane_elevation_m + t_cw
-        H = K @ np.stack([R_cw[:, 0], R_cw[:, 1], col3], axis=1) @ M
-        mc = np.linalg.inv(H) @ corners
-        if np.any(mc[2] <= 1e-9):
-            return None
-        rows, cols = mc[1] / mc[2], mc[0] / mc[2]
-        dr = max(dr, float(rows.max() - rows.min()))
-        dc = max(dc, float(cols.max() - cols.min()))
-    wr = min(hcfg.height_mosaic_pixels, (int(np.ceil(dr)) + 8 + 7) // 8 * 8)
-    wc = min(hcfg.width_mosaic_pixels,
-             (int(np.ceil(dc)) + 8 + 127) // 128 * 128)
-    return wr, wc
 
 
 def run_ortho_forward_homography(

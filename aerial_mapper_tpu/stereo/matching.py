@@ -33,6 +33,19 @@ INVALID_DISPARITY = 1.0  # kMaxInvalidDisparity (common.h / densifier.cpp:60)
 _BIG = 1.0e9
 
 
+def use_integer_costs(cfg: BlockMatchingConfig) -> bool:
+    """True when the cv-faithful quantized integer-cost path applies:
+    window sums must fit int16 and the prefilter output must fit uint8.
+    Shared by the XLA and Pallas matchers so their input quantization
+    always agrees (a config that overflows falls back to float costs in
+    BOTH paths)."""
+    return bool(
+        cfg.integer_costs
+        and 2 * cfg.pre_filter_cap * cfg.block_size ** 2 < 32767
+        and 2 * cfg.pre_filter_cap <= 255
+    )
+
+
 def _big_for(dtype):
     """Invalid-cost sentinel (Python scalar): dtype max for ints, 1e9 for
     floats. Every masked-cost site (border mask, uniqueness, LR shear
@@ -48,9 +61,11 @@ def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
 
     O(1) per pixel independent of k — the reason we can afford block 15.
     Integer inputs accumulate the integral in int32 (a 15-wide running sum
-    along a 496-row axis overflows int16) and store the windowed sums back
-    in the input dtype, so an int16 cost volume stays int16 between axes —
-    half the HBM traffic of the float path.
+    along a 496-row axis overflows int16) and store the windowed sums in
+    int16 — half the HBM traffic of the float path. INVARIANT the caller
+    must guarantee: max|input| * k^2 < 32767 per filtered axis (the BM
+    path enforces it via ``use_integer_costs``); larger window sums
+    silently wrap — pass floats if the bound cannot be proven.
     """
     r = k // 2
     integer = jnp.issubdtype(x.dtype, jnp.integer)
@@ -61,7 +76,9 @@ def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
         cs = jnp.cumsum(xp.astype(jnp.int32) if integer else xp, axis=ax)
         upper = jax.lax.slice_in_dim(cs, k, cs.shape[ax], axis=ax % x.ndim)
         lower = jax.lax.slice_in_dim(cs, 0, cs.shape[ax] - k, axis=ax % x.ndim)
-        x = (upper - lower).astype(x.dtype) if integer else upper - lower
+        # int16 is wide enough for every axis' window sums under the
+        # caller's overflow guard; uint8 inputs widen here
+        x = (upper - lower).astype(jnp.int16) if integer else upper - lower
     return x
 
 
@@ -119,9 +136,17 @@ def _shifted_right(image: jax.Array, num_disp: int, min_disp: int) -> jax.Array:
 def _cost_volume_sad(
     left: jax.Array, right: jax.Array, num_disp: int, min_disp: int, block: int
 ) -> jax.Array:
-    """SAD cost volume [D, H, W] with k x k aggregation."""
+    """SAD cost volume [D, H, W] with k x k aggregation.
+
+    uint8 inputs (the quantized cv-faithful path: prefilter output is in
+    [0, 2*cap] <= 126) keep the shear and |diff| volumes at 1 byte/texel —
+    absolute difference via max-min since unsigned subtraction wraps."""
     r_stack = _shifted_right(right, num_disp, min_disp)
-    ad = jnp.abs(left[None, :, :] - r_stack)
+    if jnp.issubdtype(left.dtype, jnp.unsignedinteger):
+        lex = left[None, :, :]
+        ad = jnp.maximum(lex, r_stack) - jnp.minimum(lex, r_stack)
+    else:
+        ad = jnp.abs(left[None, :, :] - r_stack)
     return _box_filter(ad, block)
 
 
@@ -187,6 +212,14 @@ def _wta_subpixel(cost: jax.Array, min_disp: int):
     cm = sel(-1).astype(jnp.float32)
     cp = sel(+1).astype(jnp.float32)
     c0f = c0.astype(jnp.float32)
+    if jnp.issubdtype(cost.dtype, jnp.integer):
+        # remap the int sentinel (dtype max at border-masked planes) to the
+        # float _BIG so sub-pixel deltas at the disparity border match the
+        # float path; real window sums never reach the sentinel (the
+        # caller's overflow guard keeps them strictly below dtype max)
+        big = float(_big_for(cost.dtype))
+        cm = jnp.where(cm == big, _BIG, cm)
+        cp = jnp.where(cp == big, _BIG, cp)
     denom = cm - 2.0 * c0f + cp
     delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
@@ -203,9 +236,14 @@ def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
     cost < c0 * (1 + ratio/100)."""
     d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
     away = jnp.abs(d_idx - best[None]) > 1
-    runner = jnp.min(jnp.where(away, cost, _big_for(cost.dtype)), axis=0)
-    return runner.astype(jnp.float32) >= \
-        c0.astype(jnp.float32) * (1.0 + ratio / 100.0)
+    big = _big_for(cost.dtype)
+    runner = jnp.min(jnp.where(away, cost, big), axis=0).astype(jnp.float32)
+    if jnp.issubdtype(cost.dtype, jnp.integer):
+        # the int sentinel (dtype max) is NOT large next to
+        # c0*(1+ratio/100); remap to the float _BIG so all-masked pixels
+        # pass uniqueness exactly like the float path
+        runner = jnp.where(runner == float(big), _BIG, runner)
+    return runner >= c0.astype(jnp.float32) * (1.0 + ratio / 100.0)
 
 
 def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
@@ -306,9 +344,7 @@ def block_matching_disparity(
     could overflow fall back to float32.
     """
     h, w = left.shape
-    use_int = cfg.integer_costs and (
-        2 * cfg.pre_filter_cap * cfg.block_size ** 2 < 32767
-    )
+    use_int = use_integer_costs(cfg)
     left_f = left.astype(jnp.float32)
     right_f = right.astype(jnp.float32)
     if use_int:
@@ -316,8 +352,9 @@ def block_matching_disparity(
         right_f = jnp.round(right_f)
     lf = _xsobel_prefilter(left_f, cfg.pre_filter_cap)
     rf = _xsobel_prefilter(right_f, cfg.pre_filter_cap)
-    lfq = lf.astype(jnp.int16) if use_int else lf
-    rfq = rf.astype(jnp.int16) if use_int else rf
+    # prefilter output is in [0, 2*cap] <= 126: uint8, like cv::StereoBM's
+    lfq = lf.astype(jnp.uint8) if use_int else lf
+    rfq = rf.astype(jnp.uint8) if use_int else rf
 
     cost = _cost_volume_sad(
         lfq, rfq, cfg.num_disparities, cfg.min_disparity, cfg.block_size

@@ -39,6 +39,7 @@ from aerial_mapper_tpu.stereo.matching import (
     _box_filter,
     _speckle_mask,
     _xsobel_prefilter,
+    use_integer_costs,
 )
 
 _BIG = 1.0e9
@@ -126,11 +127,12 @@ def block_matching_disparity_pallas(
 
     left_f = left.astype(jnp.float32)
     right_f = right.astype(jnp.float32)
-    if cfg.integer_costs:
-        # match the XLA matcher's cv-faithful quantization (see
-        # block_matching_disparity): integer-valued images -> integer SADs,
-        # so the two paths' winners and sub-pixel offsets agree exactly
-        # (the VMEM kernel keeps float math; the values are integers)
+    if use_integer_costs(cfg):
+        # match the XLA matcher's cv-faithful quantization (the SAME
+        # guard, so a config that overflows int16 skips quantization in
+        # both paths): integer-valued images -> integer SADs, so the two
+        # paths' winners and sub-pixel offsets agree exactly (the VMEM
+        # kernel keeps float math; the values are integers)
         left_f = jnp.round(left_f)
         right_f = jnp.round(right_f)
     lf = _xsobel_prefilter(left_f, cfg.pre_filter_cap)

@@ -254,6 +254,56 @@ def test_homography_auto_window_driver_sizing():
         cfg, CAM, q_h, np.array([[0.0, 0.0, 514.0]])
     ) is None
 
+    # footprint + margin larger than the mosaic on an axis: must return
+    # None (full path) — capping the window would make the runtime
+    # fit-check silently drop the whole image (found by code review)
+    tiny = dataclasses.replace(cfg, width_mosaic_pixels=64,
+                               height_mosaic_pixels=64)
+    assert _homography_auto_window(tiny, CAM, quats, np.asarray(ts)) is None
+
+
+def test_homography_windowed_exact_on_fine_mosaic():
+    """Fine-resolution repro from code review: INTER_NEAREST accepts
+    source coords half a pixel beyond the corner rectangle, so the bbox
+    must come from the expanded [-0.5, W-0.5] corners — on a mosaic finer
+    than ~2 px per image pixel the unexpanded bbox dropped real fringe
+    texels."""
+    import dataclasses
+
+    from aerial_mapper_tpu.camera import Camera
+    from aerial_mapper_tpu.pipeline.batch import _homography_auto_window
+
+    small_cam = Camera(fx=64.0, fy=64.0, cx=32.0, cy=24.0,
+                       width=64, height=48)
+    flat = SyntheticScene(base_elevation=414.0, relief_amplitude=0.0)
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=15.0)
+    images = jnp.stack(
+        [
+            render_image(flat, small_cam, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    # GSD ~1.56 m/px at 100 m; mosaic at 0.25 m/px = 6 mosaic px per
+    # image px — far past the fringe threshold
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0, width_mosaic_pixels=1024,
+        height_mosaic_pixels=1024, resolution=0.25, origin=(22.0, 0.0, 0.0),
+    )
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    win = _homography_auto_window(cfg, small_cam, quats, np.asarray(ts))
+    assert win is not None
+    qj = jnp.asarray(quats, jnp.float32)
+    tj = jnp.asarray(ts, jnp.float32)
+    full = np.asarray(homography_mosaic_batch(
+        images, qj, tj, small_cam, cfg, needs_undistortion=False))
+    winm = np.asarray(homography_mosaic_batch(
+        images, qj, tj, small_cam,
+        dataclasses.replace(cfg, window_rows=win[0], window_cols=win[1]),
+        needs_undistortion=False))
+    assert (full > 0).mean() > 0.05
+    np.testing.assert_array_equal(winm, full)
+
 
 def test_ortho_from_points_parity(rng):
     n = 400

@@ -136,6 +136,28 @@ def test_block_matching_float_costs_path():
     assert (err <= 1.0).mean() > 0.95
 
 
+def test_block_matching_int16_overflow_guard_falls_back():
+    """A config whose window sums could overflow int16
+    (2*cap*block^2 >= 32767) must silently use the float path and still
+    produce sane disparities."""
+    import dataclasses
+
+    rect, R, t1, t2 = render_rect_pair()
+    cfg = BlockMatchingConfig(num_disparities=48, block_size=21,
+                              pre_filter_cap=63)
+    assert 2 * cfg.pre_filter_cap * cfg.block_size ** 2 >= 32767
+    d = np.asarray(block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask, cfg))
+    d_float = np.asarray(block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        dataclasses.replace(cfg, integer_costs=False)))
+    # guard forces the same float path modulo the input rounding — but the
+    # int16 request must not overflow/garble; winners should mostly agree
+    both = (d > 1.0) & (d_float > 1.0)
+    assert both.mean() > 0.2
+    assert np.median(np.abs(d[both] - d_float[both])) < 0.1
+
+
 def test_sgm_on_synthetic_pair():
     rect, R, t1, t2 = render_rect_pair()
     disp = sgm_disparity(
