@@ -47,6 +47,43 @@ from aerial_mapper_tpu.mapgrid.grid import MapGeometry
 
 _FAR = 1.0e9  # sentinel coordinate offset for empty bin slots
 _EXACT_EPS = 1.0e-12  # d^2 below this counts as a perfect match
+_BOUNDS_STRIDE = 64  # block size for the two-level segment-bounds search
+
+
+def _bounds_of_sorted(sorted_ids: jax.Array, num_cells: int) -> jax.Array:
+    """bounds[c] = #sorted ids < c, for every c in [0, num_cells]; exact.
+
+    Replaces ``jnp.searchsorted``'s 24-step binary scan (24 arbitrary
+    gathers per query — gather cost on this hardware is per index) with a
+    two-level search: per-block maxima of stride-64 blocks are counted
+    into a histogram + exclusive cumsum that locates each query's block
+    directly (dense integer queries make the histogram O(num_cells)),
+    then log2(stride) = 6 binary steps refine within the block. Measured
+    28.5 -> 10.1 ms for 168k queries into 12.6M ids on a v5e; bit-exact
+    vs searchsorted (unit test + A/B).
+    """
+    n = sorted_ids.shape[0]
+    stride = _BOUNDS_STRIDE
+    npad = -(-n // stride) * stride
+    # pad with a value larger than any query so padded tails never count
+    s = jnp.pad(sorted_ids, (0, npad - n), constant_values=num_cells + 1)
+    block_max = s[stride - 1::stride]
+    hist = jnp.zeros(num_cells + 2, jnp.int32).at[
+        jnp.clip(block_max, 0, num_cells + 1)
+    ].add(1)
+    ex = jnp.cumsum(hist)
+    nblocks_lt = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), ex[:num_cells]]
+    )  # [num_cells + 1]
+    lo = nblocks_lt * stride  # bounds[c] - lo[c] in [0, stride - 1]
+    c = jnp.arange(num_cells + 1, dtype=sorted_ids.dtype)
+    off = jnp.zeros(num_cells + 1, jnp.int32)
+    step = stride // 2
+    while step >= 1:  # static unrolled binary refinement
+        p = jnp.minimum(lo + off + step - 1, npad - 1)
+        off = off + jnp.where(s[p] < c, step, 0)
+        step //= 2
+    return jnp.minimum(lo + off, n)
 
 
 class BinnedPoints(NamedTuple):
@@ -152,15 +189,43 @@ def bin_points(
         [points_xy[:, 0] - ce, points_xy[:, 1] - cn,
          payload.astype(points_xy.dtype)], axis=-1
     )  # [N, 3]
-    bounds = jnp.searchsorted(
-        sorted_ids, jnp.arange(h * w + 1, dtype=sorted_ids.dtype)
-    )
+    bounds = _bounds_of_sorted(sorted_ids, h * w)
     # slot-major [K, H*W] positions so the outputs land directly in the
     # K-leading layout (see BinnedPoints docstring)
     pos = bounds[None, :-1] + jnp.arange(k, dtype=bounds.dtype)[:, None]
     slot_ok = (pos < bounds[None, 1:]).reshape(-1)  # rank < count[cell]
-    posc = jnp.minimum(pos, sorted_ids.shape[0] - 1).reshape(-1)
-    slots = packed_src[sorted_idx[posc]]  # [K*H*W, 3] two-hop gather
+    # Hop 1 (sorted position -> original point index): each cell's K slot
+    # positions are CONSECUTIVE (bounds[c] .. bounds[c]+K-1), so instead
+    # of K*H*W arbitrary gathers, fetch the two 8-aligned rows of a
+    # [N/8, 8]-grouped sorted_idx that cover them (2*H*W indices — gather
+    # cost here is per index) and pick each slot with a branchless
+    # 8-way shift select (integer, bit-exact). Requires K <= 8.
+    n_sorted = sorted_ids.shape[0]
+    if k <= 8:
+        grp = 8
+        ngrp = -(-n_sorted // grp) + 1  # +1: row r0+1 always in range
+        sidx_g = jnp.pad(
+            sorted_idx, (0, ngrp * grp - n_sorted)
+        ).reshape(ngrp, grp)
+        base = jnp.minimum(bounds[:-1], n_sorted - 1)  # [C]
+        r0 = base // grp
+        shift = base % grp
+        cat = jnp.concatenate(
+            [sidx_g[r0], sidx_g[r0 + 1]], axis=1
+        )  # [C, 16]
+        rows = [
+            sum(
+                jnp.where(shift == s, cat[:, s + kk], 0)
+                for s in range(grp)
+            )
+            for kk in range(k)
+        ]
+        point_idx = jnp.stack(rows, axis=0).reshape(-1)  # [K*C] slot-major
+        point_idx = jnp.minimum(point_idx, n_sorted - 1)
+    else:
+        posc = jnp.minimum(pos, n_sorted - 1).reshape(-1)
+        point_idx = sorted_idx[posc]
+    slots = packed_src[point_idx]  # [K*H*W, 3] hop 2
     de = jnp.where(slot_ok, slots[:, 0], _FAR)
     dn = jnp.where(slot_ok, slots[:, 1], _FAR)
     pl = jnp.where(slot_ok, slots[:, 2].astype(payload.dtype),

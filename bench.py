@@ -180,11 +180,20 @@ def worker_e2e(k: int):
         "BENCH_E2E_U8_STEREO", "0") == "1" else images
     ops = prepare_pair_operands(cam.K, Rs, ts, stereo_src, use_every_nth=7)
 
+    u8_internal = os.environ.get("BENCH_E2E_U8_INTERNAL", "0") == "1"
+
     @jax.jit
     def step(eps, ops, layers, images):
         # data-dependence for call chaining rides the f32 rectification
         # transforms, not the (uint8) images, so dtypes stay native
         o = ops._replace(T1_inv=ops.T1_inv + eps * 1e-30)
+        if u8_internal:
+            # cast the pair imagery to uint8 INSIDE the program (the
+            # imagery is integral-valued): the remap gathers then fetch
+            # 4-byte quads instead of 16 while the program PARAMETERS
+            # stay f32, dodging the uint8-parameter relayout quirk
+            o = o._replace(image1=o.image1.astype(jnp.uint8),
+                           image2=o.image2.astype(jnp.uint8))
         pts, intens, valid = process_pairs_batched(
             o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1
         )

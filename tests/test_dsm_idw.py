@@ -118,3 +118,18 @@ def test_update_elevation_layer_leaves_missing_cells_nan(rng):
     elev = np.asarray(layers["elevation"])
     assert np.isfinite(elev).sum() >= 1
     assert np.isnan(elev[0, 0])  # far corner untouched
+
+
+def test_bounds_of_sorted_matches_searchsorted(rng):
+    """Two-level segment bounds must equal jnp.searchsorted exactly,
+    including empty cells, the all-smaller tail, and the invalid-id
+    sentinel segment."""
+    from aerial_mapper_tpu.dsm.idw import _bounds_of_sorted
+
+    for n, cells in ((10_000, 997), (4_097, 64), (64, 7), (1, 3)):
+        ids = np.sort(rng.integers(0, cells + 1, n).astype(np.int32))
+        ref = np.searchsorted(ids, np.arange(cells + 1), side="left")
+        ours = np.asarray(
+            _bounds_of_sorted(jnp.asarray(ids), cells)
+        )
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{n=} {cells=}")
