@@ -406,6 +406,27 @@ def test_homography_incremental_updates_match_batch():
         np.asarray(state.mosaic), np.asarray(batch), atol=1e-3
     )
 
+    # incremental with a per-image window: identical to the full-path
+    # batch (shared _warp_feather body). Needs a mosaic larger than the
+    # ~100x75 px footprint so the window genuinely sub-sets it.
+    import dataclasses
+
+    big = dataclasses.replace(cfg, width_mosaic_pixels=256,
+                              height_mosaic_pixels=256)
+    wcfg = dataclasses.replace(big, window_rows=128, window_cols=128)
+    batch_big = homography_mosaic_batch(images, quats, ts_j, CAM, big,
+                                        needs_undistortion=False)
+    state_w = create_mosaic_state(wcfg)
+    for i in range(4):
+        state_w = homography_mosaic_update(
+            state_w, images[i], quats[i], ts_j[i], CAM, wcfg,
+            needs_undistortion=False,
+        )
+    assert (np.asarray(batch_big) > 0).mean() > 0.1
+    np.testing.assert_array_equal(
+        np.asarray(state_w.mosaic), np.asarray(batch_big)
+    )
+
 
 def test_backward_grid_uint8_images_identical_to_float():
     """uint8 image stacks (the native loader's output format) must texture
