@@ -5,9 +5,12 @@ TPU-native replacement for the reference's kd-tree radius-search IDW
 ``aerial_mapper_ortho/src/ortho-from-pcl.cc:27-107``). Instead of a pointer-
 chasing nanoflann tree we:
 
-1. **bin** points into their owning map cell with a stable rank sort
-   (cell id, point index) + segment-boundary two-hop gather (capacity K
-   slots per cell, deterministic first-K policy), and
+1. **bin** points into their owning map cell with a rank sort
+   (cell id, quantized own-center distance, point index) + segment-boundary
+   two-hop gather (capacity K slots per cell, deterministic NEAREST-K
+   policy: an over-capacity cell keeps its K nearest points — the K largest
+   IDW weights at that cell; error vs the reference's all-neighbors average
+   is measured by the capacity sweep in tests/test_dsm_idw.py), and
 2. **gather** per query cell over a fixed (2*hw+1)^2 cell window around it,
    accumulating the IDW sums with the exact per-point distances.
 
@@ -121,9 +124,10 @@ def bin_points(
     """Scatter points (x=easting, y=northing) into per-cell slots.
 
     Out-of-grid points and slots beyond ``capacity`` are dropped (the
-    capacity policy keeps the first K points in sorted order — deterministic
-    across runs and shardings). Stores cell-relative offsets so everything
-    after binning is small-magnitude float32.
+    capacity policy keeps each cell's K NEAREST points by distance to the
+    owning cell center, ties by input index — deterministic across runs
+    and shardings; see the sort-key comment below). Stores cell-relative
+    offsets so everything after binning is small-magnitude float32.
 
     ``north``/``west`` are the edges used for cell assignment AND the
     cell-center arithmetic (default: ``geom``'s own). ``row_offset``/
@@ -138,6 +142,15 @@ def bin_points(
     """
     h, w, k = geom.height, geom.width, capacity
     n = points_xy.shape[0]
+    if n == 0:
+        # static early-out: the gathers below are ill-defined on size-0
+        # operands (ADVICE r1) and an empty stack trivially bins to nothing
+        return BinnedPoints(
+            de=jnp.full((k, h, w), _FAR, points_xy.dtype),
+            dn=jnp.full((k, h, w), _FAR, points_xy.dtype),
+            payload=jnp.zeros((k, h, w), payload.dtype),
+            count=jnp.zeros((h, w), jnp.int32),
+        )
     north_edge = geom.north if north is None else north
     west_edge = geom.west if west is None else west
 
@@ -167,23 +180,43 @@ def bin_points(
         (rowi - row_offset).astype(points_xy.dtype) + 0.5
     ) * geom.resolution
 
-    # Two-operand stable sort (cell id, point index): sort cost scales with
-    # carried bytes, so ranking 8 B/point instead of dragging the three
-    # float payloads through the comparator network halves the sort. Slot
-    # (cell, rank) lives at sorted position bounds[cell] + rank; slot
-    # values come from a TWO-HOP gather (slot -> sorted index -> packed
-    # point row) of 2 x 1.4M indices — gather cost here is per index, not
-    # per fetched element, so (de, dn, payload) ride as trailing channels
-    # of one row fetch. Versus three 12M-element scatters the whole binning
-    # measured 895 -> 155 -> 116 ms for 12.6M points on a v5e. Stability
-    # keeps the deterministic first-K capacity policy bit-for-bit.
+    # Three-key sort (cell id, quantized own-center distance, point index):
+    # sort cost scales with carried bytes, so ranking 12 B/point instead of
+    # dragging the three float payloads through the comparator network
+    # keeps the sort cheap. Slot (cell, rank) lives at sorted position
+    # bounds[cell] + rank; slot values come from a TWO-HOP gather
+    # (slot -> sorted index -> packed point row) — gather cost here is per
+    # index, not per fetched element, so (de, dn, payload) ride as trailing
+    # channels of one row fetch. Versus three 12M-element scatters the
+    # whole binning measured 895 -> 155 -> 116 ms for 12.6M points on a
+    # v5e.
+    #
+    # CAPACITY POLICY (nearest-K): the middle key ranks each cell's points
+    # by squared distance to the OWNING cell's center (quantized to 2^-22
+    # of the max in-cell d^2, ties broken by input index), so a cell over
+    # capacity keeps its K nearest points — the K largest 1/d^2 IDW weights
+    # for queries at that cell's own center, and approximately the largest
+    # for nearby query cells. The reference averages EVERY in-radius point
+    # (dsm.cc:93-104); the nearest-K clip's residual error is bounded by
+    # the dropped tail's weight share and is measured by the overflow
+    # parity sweep in tests/test_dsm_idw.py. Deterministic across runs AND
+    # shardings: d^2 is computed from the GLOBAL edges (bit-identical on
+    # every tile) and the index tie-break is total.
     idx = jnp.arange(n, dtype=jnp.int32)
-    # (cell, idx) pairs are all distinct, so an unstable 2-key sort yields
-    # the same total order as a stable 1-key sort (the deterministic
-    # first-K policy is preserved bit-for-bit) and measures ~4% faster on
-    # a v5e (30.5 -> 29.2 ms for 12.6M pairs)
-    sorted_ids, sorted_idx = jax.lax.sort(
-        (cell_id, idx), num_keys=2, is_stable=False
+    de_pt = points_xy[:, 0] - ce
+    dn_pt = points_xy[:, 1] - cn
+    d2_own = de_pt * de_pt + dn_pt * dn_pt
+    # in-cell d^2 <= res^2/2; quantize to int32 with ~2^22 buckets of that
+    # range (invalid/out-of-map points get the max key; their cell id is
+    # already the drop sentinel)
+    qscale = float(2 ** 22) / (geom.resolution * geom.resolution * 0.5)
+    qd2 = jnp.where(
+        in_map, jnp.minimum(d2_own * qscale, 2.0 ** 30), 2.0 ** 30
+    ).astype(jnp.int32)
+    # (cell, qd2, idx) triples are all distinct (idx is), so an unstable
+    # 3-key sort yields a deterministic total order
+    sorted_ids, _, sorted_idx = jax.lax.sort(
+        (cell_id, qd2, idx), num_keys=3, is_stable=False
     )
     packed_src = jnp.stack(
         [points_xy[:, 0] - ce, points_xy[:, 1] - cn,
@@ -196,14 +229,17 @@ def bin_points(
     slot_ok = (pos < bounds[None, 1:]).reshape(-1)  # rank < count[cell]
     # Hop 1 (sorted position -> original point index): each cell's K slot
     # positions are CONSECUTIVE (bounds[c] .. bounds[c]+K-1), so instead
-    # of K*H*W arbitrary gathers, fetch the two 8-aligned rows of a
-    # [N/8, 8]-grouped sorted_idx that cover them (2*H*W indices — gather
-    # cost here is per index) and pick each slot with a branchless
-    # 8-way shift select (integer, bit-exact). Requires K <= 8.
+    # of K*H*W arbitrary gathers, fetch the ceil((K+7)/8)+1 8-aligned rows
+    # of a [N/8, 8]-grouped sorted_idx that cover them (nrows*H*W indices —
+    # gather cost here is per index) and pick each slot with a branchless
+    # 8-way shift select (integer, bit-exact). The select is K*8 cheap
+    # vector ops, so the grouped path stays ahead of the K*H*W arbitrary
+    # gather up to K ~ 64 (capacity-sweep parity tests run K = 8/16/32).
     n_sorted = sorted_ids.shape[0]
-    if k <= 8:
+    if k <= 64:
         grp = 8
-        ngrp = -(-n_sorted // grp) + 1  # +1: row r0+1 always in range
+        nrows = (k + grp - 2) // grp + 1  # rows covering base..base+k-1
+        ngrp = -(-n_sorted // grp) + nrows - 1  # pad: r0 + nrows - 1 in range
         sidx_g = jnp.pad(
             sorted_idx, (0, ngrp * grp - n_sorted)
         ).reshape(ngrp, grp)
@@ -211,8 +247,8 @@ def bin_points(
         r0 = base // grp
         shift = base % grp
         cat = jnp.concatenate(
-            [sidx_g[r0], sidx_g[r0 + 1]], axis=1
-        )  # [C, 16]
+            [sidx_g[r0 + j] for j in range(nrows)], axis=1
+        )  # [C, nrows*8]
         rows = [
             sum(
                 jnp.where(shift == s, cat[:, s + kk], 0)

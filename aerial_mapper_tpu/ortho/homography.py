@@ -255,6 +255,31 @@ def auto_window(cfg: OrthoHomographyConfig, cam: Camera, quats_c, trans_c):
     full-mosaic path instead. Lens distortion never moves the bbox (the
     image is undistorted before warping; H is pure pinhole).
     """
+    spans = _host_bbox_spans(cfg, cam, quats_c, trans_c)
+    if spans is None:
+        return None
+    dr = max(r for r, _ in spans)
+    dc = max(c for _, c in spans)
+    import numpy as _np
+
+    # +16 margin on each axis before alignment: the device fit-check
+    # recomputes the bbox with a float32 jnp.linalg.inv, so leave enough
+    # slack that f32/f64 drift on an ill-conditioned H can never push a
+    # footprint past the runtime check (ADVICE r1; columns additionally
+    # round up to the 128-lane boundary).
+    wr = (int(_np.ceil(dr)) + 16 + 7) // 8 * 8
+    wc = (int(_np.ceil(dc)) + 16 + 127) // 128 * 128
+    if wr > cfg.height_mosaic_pixels or wc > cfg.width_mosaic_pixels:
+        return None
+    return wr, wc
+
+
+def _host_bbox_spans(cfg: OrthoHomographyConfig, cam: Camera,
+                     quats_c, trans_c):
+    """Per-pose footprint bbox spans [(rows, cols), ...] on the mosaic,
+    in host float64; ``None`` if any footprint is unbounded. Mirrors the
+    device ``_corner_bbox_mosaic`` math — keep in sync (test_ortho's
+    windowed==full assertion catches drift in either copy)."""
     import numpy as _np
 
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
@@ -273,7 +298,7 @@ def auto_window(cfg: OrthoHomographyConfig, cam: Camera, quats_c, trans_c):
     corners = _np.array(
         [[-0.5, -0.5, 1.0], [w, -0.5, 1.0], [w, h, 1.0], [-0.5, h, 1.0]]
     ).T
-    dr = dc = 0.0
+    spans = []
     for q, t in zip(_np.asarray(quats_c), _np.asarray(trans_c)):
         R_cw = _rot_matrix_np(q).T
         t_cw = -R_cw @ _np.asarray(t, float)
@@ -283,13 +308,28 @@ def auto_window(cfg: OrthoHomographyConfig, cam: Camera, quats_c, trans_c):
         if _np.any(mc[2] <= 1e-9):
             return None
         rows, cols = mc[1] / mc[2], mc[0] / mc[2]
-        dr = max(dr, float(rows.max() - rows.min()))
-        dc = max(dc, float(cols.max() - cols.min()))
-    wr = (int(_np.ceil(dr)) + 8 + 7) // 8 * 8
-    wc = (int(_np.ceil(dc)) + 8 + 127) // 128 * 128
-    if wr > cfg.height_mosaic_pixels or wc > cfg.width_mosaic_pixels:
-        return None
-    return wr, wc
+        spans.append((float(rows.max() - rows.min()),
+                      float(cols.max() - cols.min())))
+    return spans
+
+
+def validate_window(cfg: OrthoHomographyConfig, cam: Camera,
+                    quats_c, trans_c):
+    """Host-side check of a hand-set window: indices of images whose
+    footprint bbox cannot fit [window_rows, window_cols].
+
+    The device fit-check in ``_warp_accumulate_windowed`` zeroes a
+    non-fitting image's whole contribution INSIDE jit with no host-visible
+    signal (ADVICE r1) — drivers must call this before using a hand-set
+    window and warn/error on a non-empty result. Uses a margin 1 px
+    stricter than the device check to absorb its float32 inverse."""
+    spans = _host_bbox_spans(cfg, cam, quats_c, trans_c)
+    if spans is None:
+        return list(range(len(quats_c)))  # unbounded: every image at risk
+    return [
+        i for i, (dr, dc) in enumerate(spans)
+        if dr >= cfg.window_rows - 3 or dc >= cfg.window_cols - 3
+    ]
 
 
 @partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion"))

@@ -279,8 +279,6 @@ def run_ortho_backward_grid(
     return layers, geom
 
 
-
-
 def run_ortho_forward_homography(
     dataset: Dataset,
     cfg: PipelineConfig = PipelineConfig(),
@@ -307,6 +305,20 @@ def run_ortho_forward_homography(
             logger.info("homography window: %dx%d of %dx%d mosaic",
                         win[0], win[1], hcfg.height_mosaic_pixels,
                         hcfg.width_mosaic_pixels)
+    elif hcfg.window_rows > 0 or hcfg.window_cols > 0:
+        # hand-set window: the device fit-check silently zeroes any image
+        # whose footprint cannot fit — refuse to run such a config (ADVICE
+        # r1; prefer auto_window)
+        from aerial_mapper_tpu.ortho.homography import validate_window
+
+        dropped = validate_window(hcfg, dataset.rig.camera, quats_c, trans_c)
+        if dropped:
+            raise ValueError(
+                f"hand-set homography window {hcfg.window_rows}x"
+                f"{hcfg.window_cols} would drop the entire contribution of "
+                f"{len(dropped)} image(s) (first indices {dropped[:8]}); "
+                "enlarge the window or use auto_window"
+            )
     with timer.stage(
         "ortho_homography",
         work_items=hcfg.width_mosaic_pixels * hcfg.height_mosaic_pixels / 1e6,

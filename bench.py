@@ -242,12 +242,18 @@ def worker_e2e_cpu():
 
 
 def worker_agreement():
-    """TPU vs native-CPU output agreement + CPU baseline timing."""
+    """TPU vs native-CPU output agreement + CPU baseline timing.
+
+    Covers BOTH rasterizers: the backward-grid ortho (given the same
+    elevation) and the DSM itself — the binned nearest-K IDW at bench
+    density (~70 points/cell, deep in the capacity-clipped regime) vs the
+    native all-neighbors reference loop (dsm_idw_baseline)."""
     import jax
     import jax.numpy as jnp
 
-    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
-    from aerial_mapper_tpu.native import backward_grid_cpu
+    from aerial_mapper_tpu.config import DsmConfig, OrthoBackwardGridConfig
+    from aerial_mapper_tpu.dsm.idw import idw_to_grid
+    from aerial_mapper_tpu.native import backward_grid_cpu, dsm_idw_cpu
     from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
 
     (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
@@ -274,7 +280,57 @@ def worker_agreement():
     both = (a_cpu > 0) & np.isfinite(ortho_tpu)
     agree = float(np.mean(np.abs(ortho_tpu[both] - o_cpu[both]) < 2.0)) \
         if both.any() else 0.0
-    print(f"RESULT {t_cpu} {agree}", flush=True)
+
+    # DSM agreement at bench density: same synthetic cloud through the TPU
+    # binned nearest-K IDW (production config) and the native all-neighbors
+    # loop. ~70 points/cell => every cell is capacity-clipped.
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0)
+    rng = np.random.default_rng(7)
+    n_pts = 70 * geom.height * geom.width
+    half_e = geom.width * geom.resolution / 2.0
+    half_n = geom.height * geom.resolution / 2.0
+    pe = rng.uniform(-half_e, half_e, n_pts)
+    pn = rng.uniform(-half_n, half_n, n_pts)
+    pz = np.asarray(
+        scene.height(jnp.asarray(pe, jnp.float32),
+                     jnp.asarray(pn, jnp.float32))
+    ) + rng.normal(0.0, 0.15, n_pts)
+    vals, hit = jax.jit(
+        lambda xy, z: idw_to_grid(
+            xy, z, jnp.ones(n_pts, bool), geom, dsm_cfg.bin_capacity,
+            radius_sq=dsm_cfg.interpolation_radius_sq,
+            adaptive=dsm_cfg.adaptive_interpolation,
+            growth=dsm_cfg.adaptive_growth_factor,
+            max_radius_sq=dsm_cfg.max_radius_sq,
+        )
+    )(
+        jnp.asarray(np.stack([pe, pn], 1), jnp.float32),
+        jnp.asarray(pz, jnp.float32),
+    )
+    dsm_tpu = np.asarray(vals).ravel()
+    hit_tpu = np.asarray(hit).ravel()
+    ref_vals, ref_hit = dsm_idw_cpu(
+        np.stack([pe, pn, pz], axis=1),
+        np.asarray(ce, np.float64).ravel(),
+        np.asarray(cn, np.float64).ravel(),
+        radius_sq=dsm_cfg.interpolation_radius_sq,
+        adaptive=dsm_cfg.adaptive_interpolation,
+        growth=dsm_cfg.adaptive_growth_factor,
+        max_radius_sq=dsm_cfg.max_radius_sq,
+    )
+    if not (hit_tpu == ref_hit).all():
+        raise AssertionError("DSM hit masks diverge from native reference")
+    err = np.abs(dsm_tpu[hit_tpu] - ref_vals[ref_hit])
+    dsm_rmse = float(np.sqrt((err**2).mean()))
+    dsm_max = float(err.max())
+    # stated tolerance: nearest-K (K=8) clip error at 70 pts/cell stays
+    # well under half a cell (measured RMSE ~0.07 m on 0.5 m cells)
+    if not (dsm_rmse < 0.25 * geom.resolution and dsm_max < geom.resolution):
+        raise AssertionError(
+            f"DSM disagrees with reference: rmse={dsm_rmse:.3f} "
+            f"max={dsm_max:.3f}"
+        )
+    print(f"RESULT {t_cpu} {agree} {dsm_rmse} {dsm_max}", flush=True)
 
 
 def _spawn(mode: str, timeout=1100) -> list:
@@ -332,10 +388,12 @@ def main():
     # CPU baseline + agreement
     cpu_mcells_s = None
     try:
-        t_cpu, agree = _spawn("agree")
+        t_cpu, agree, dsm_rmse, dsm_max = _spawn("agree")
         cpu_mcells_s = mcells / t_cpu
         log(f"CPU baseline (native parFor): {t_cpu:.2f} s "
-            f"-> {cpu_mcells_s:.3f} Mcells/s; TPU/CPU agreement {agree:.3f}")
+            f"-> {cpu_mcells_s:.3f} Mcells/s; TPU/CPU agreement {agree:.3f}; "
+            f"DSM vs all-neighbors reference at 70 pts/cell: "
+            f"rmse {dsm_rmse:.3f} m, max {dsm_max:.3f} m (cells 0.5 m)")
     except Exception as e:  # noqa: BLE001
         log(f"CPU baseline unavailable: {type(e).__name__}: {e}")
 
