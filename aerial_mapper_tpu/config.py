@@ -59,9 +59,14 @@ class SgmConfig:
     p2: float = 250.0
     block_size: int = 9
     uniqueness_ratio: int = 10
-    num_directions: int = 4  # 4 or 8 scan directions
+    num_directions: int = 8  # 4 or 8 scan directions (cv full-8 parity)
     speckle_window_size: int = 100
     speckle_range: float = 20.0
+    # Left-right consistency (cv::validateDisparity): max allowed index
+    # difference between the left winner and the right-view winner at its
+    # match column; 0 = exact agreement (the reference default,
+    # common.h:91), negative disables.
+    disp_12_max_diff: int = 0
     # "xla" (portable default) or "pallas" (fused VMEM-resident directional
     # scans, 4 directions; stereo/pallas_sgm.py — opt-in, see ortho
     # score_kernel note).
@@ -86,6 +91,9 @@ class BlockMatchingConfig:
     pre_filter_size: int = 9
     speckle_window_size: int = 100
     speckle_range: float = 5.0
+    # cv::validateDisparity max index difference (reference: 0,
+    # common.h:106); negative disables the LR check.
+    disp_12_max_diff: int = 0
     # cv::StereoBM operates on CV_8U images with integer SAD costs
     # (prefilter_xsobel writes uint8, SADs accumulate in int); True
     # quantizes the (bilinear, float) rectified images the same way and

@@ -247,7 +247,7 @@ def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
 
 
 def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
-                         min_disp: int) -> jax.Array:
+                         min_disp: int, max_diff: int = 1) -> jax.Array:
     """Left-right check by reusing the left cost volume — no second matching
     pass and no per-pixel gathers.
 
@@ -266,15 +266,18 @@ def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
     since ``cost_R[d, v, u_r] == cost_L[d, v, u]`` identically for
     ``u = u_r + min_disp + d``. Then
 
-        pass[v, u] = aligned[dL, v, u] | aligned[dL-1, v, u-1]
-                                       | aligned[dL+1, v, u+1]
+        pass[v, u] = OR over off in [-max_diff, max_diff] of
+                     aligned[dL+off, v, u+off]
 
-    covers the three |d_r - dL| <= 1 cases (the d_r = dL∓1 winners live at
-    match column u - min_disp - dL, reached from left pixel u∓1 at shear
-    index dL∓1) — one masked any-reduction over d, all shears layout-level.
-    Deviation from the previous subpixel-valued compare: ties in m_r accept
-    any tied winner (argmin keeps the first); measured identical masks on
-    the synthetic set to within the post-filter tolerance.
+    covers every |d_r - dL| <= max_diff case (a right winner d_r = dL+off
+    at match column u - min_disp - dL appears in left coordinates at
+    column u + off, shear index dL + off) — one masked any-reduction over
+    d, all shears layout-level. ``max_diff`` is cv's disp12MaxDiff
+    (validateDisparity semantics: 0 = exact index agreement required, the
+    reference SGBM default, common.h:91). Deviation from the previous
+    subpixel-valued compare: ties in m_r accept any tied winner (argmin
+    keeps the first); measured identical masks on the synthetic set to
+    within the post-filter tolerance.
     """
     num_disp, h, w = cost.shape
     big = _big_for(cost.dtype)
@@ -294,9 +297,15 @@ def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
         aligned = jnp.pad(
             aligned, ((0, 0), (0, 0), (min_disp, 0))
         )[:, :, :w]
-    a_prev = jnp.pad(aligned, ((1, 0), (0, 0), (1, 0)))[:-1, :, :w]
-    a_next = jnp.pad(aligned, ((0, 1), (0, 0), (0, 1)))[1:, :, 1:]
-    near = aligned | a_prev | a_next
+    near = aligned
+    for off in range(1, max_diff + 1):
+        # off > 0: aligned[dL+off, v, u+off]; off < 0 symmetric
+        near = near | jnp.pad(
+            aligned, ((0, off), (0, 0), (0, off))
+        )[off:, :, off:]
+        near = near | jnp.pad(
+            aligned, ((off, 0), (0, 0), (off, 0))
+        )[:-off, :, :w]
     d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
     return jnp.any(near & (d_idx == best[None]), axis=0)
 
@@ -369,7 +378,9 @@ def block_matching_disparity(
     valid = texture >= cfg.texture_threshold * cfg.block_size
 
     valid &= _uniqueness_mask(cost, best, c0, cfg.uniqueness_ratio)
-    valid &= _lr_consistency_mask(cost, best, cfg.min_disparity)
+    if cfg.disp_12_max_diff >= 0:
+        valid &= _lr_consistency_mask(cost, best, cfg.min_disparity,
+                                      cfg.disp_12_max_diff)
     valid &= mask
     valid &= jnp.any(border, axis=0)
     valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
@@ -378,15 +389,36 @@ def block_matching_disparity(
 
 
 def _sgm_scan_1d(cost: jax.Array, p1: float, p2: float,
-                 reverse: bool, unroll: int = 1) -> jax.Array:
-    """Aggregate along the last axis of ``cost`` [..., L, D] with the SGM
-    recurrence, vectorized over everything but the scan axis."""
+                 reverse: bool, unroll: int = 1,
+                 restart=None) -> jax.Array:
+    """Aggregate along the [..., L, D] scan axis with the SGM recurrence,
+    vectorized over everything but the scan axis.
+
+    ``restart`` (optional bool [..., L]): True where a position begins a
+    new DP segment in FORWARD order — the recurrence resets there
+    (out = raw cost, no carry), exactly cv's per-path restart at the image
+    border. Used by the sheared diagonal scans, whose modular shear maps
+    several border-wrapped diagonals onto one scan column. For
+    ``reverse=True`` the flags are re-derived automatically: a segment's
+    first element in reverse order is its last in forward order.
+    """
+    if restart is not None:
+        if reverse:
+            # last element of a forward segment == element whose successor
+            # starts a new segment (the final position is a scan init)
+            restart = jnp.concatenate(
+                [restart[..., 1:],
+                 jnp.ones_like(restart[..., :1])], axis=-1,
+            )
+        restart = jnp.flip(restart, axis=-1) if reverse else restart
     if reverse:
         cost = jnp.flip(cost, axis=-2)
 
-    num_disp = cost.shape[-1]
-
-    def step(carry, c):
+    def step(carry, xs):
+        if restart is None:
+            c = xs
+        else:
+            c, r = xs
         # carry: [..., D] previous aggregated costs
         m = jnp.min(carry, axis=-1, keepdims=True)
         up = jnp.concatenate([carry[..., :1] + p1 + _BIG * 0,
@@ -397,17 +429,77 @@ def _sgm_scan_1d(cost: jax.Array, p1: float, p2: float,
         # clamped copy is harmless since the clamped value >= true neighbor.
         best = jnp.minimum(jnp.minimum(carry, up), jnp.minimum(down, m + p2))
         out = c + best - m
+        if restart is not None:
+            out = jnp.where(r[..., None], c, out)
         return out, out
 
     cost_t = jnp.moveaxis(cost, -2, 0)  # [L, ..., D]
     init = cost_t[0]
-    _, agg = jax.lax.scan(step, init, cost_t[1:], unroll=unroll)
+    xs = cost_t[1:] if restart is None else (
+        cost_t[1:], jnp.moveaxis(restart, -1, 0)[1:]
+    )
+    _, agg = jax.lax.scan(step, init, xs, unroll=unroll)
     agg = jnp.concatenate([init[None], agg], axis=0)
     agg = jnp.moveaxis(agg, 0, -2)
     if reverse:
         agg = jnp.flip(agg, axis=-2)
     return agg
-    del num_disp
+
+
+def sgm_aggregate(cdhw: jax.Array, cfg: SgmConfig) -> jax.Array:
+    """Directional SGM aggregation of a [H, W, D] cost volume (4 or 8
+    directions per ``cfg.num_directions``); the sum of per-direction DP
+    passes. Exact per-path semantics (parity oracle:
+    ``testing.numpy_ref.sgm_aggregate_reference``): every path starts
+    fresh at the image border — the diagonal passes run on the modular
+    row-shear (a pure layout transform) with restart flags at each wrap.
+    """
+    h, w, _ = cdhw.shape
+    ur = cfg.scan_unroll
+    agg = _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=False,
+                       unroll=ur)  # left->right
+    agg = agg + _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=True,
+                             unroll=ur)  # right->left
+    cthw = jnp.swapaxes(cdhw, 0, 1)  # [W, H, D]
+    agg_v = _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=False, unroll=ur)
+    agg_v = agg_v + _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=True,
+                                 unroll=ur)
+    agg = agg + jnp.swapaxes(agg_v, 0, 1)
+
+    if cfg.num_directions >= 8:
+        # Diagonal directions via row-shear: shift row i by +/- i columns
+        # so diagonals become columns, scan vertically, unshear. The
+        # modular shear maps a diagonal that exits the right edge back in
+        # on the left, stacking several border-wrapped diagonals into one
+        # scan column — restart flags at each wrap make the DP recurrence
+        # begin fresh there, exactly cv::StereoSGBM's per-path border
+        # restart (tested against the non-wrapping numpy oracle).
+        def shear(x, sign):
+            idx = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            ) % w
+            return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+        for sign in (+1, -1):
+            sheared = shear(cdhw, sign)
+            # source column of sheared[i, j] is (j + sign*i) mod w; a new
+            # diagonal segment begins where it wraps around the border
+            src_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            ) % w
+            restart = src_col == (0 if sign > 0 else w - 1)  # [H, W]
+            restart_t = jnp.swapaxes(restart, 0, 1)  # [W, H] scan layout
+            a = _sgm_scan_1d(
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=False,
+                unroll=ur, restart=restart_t,
+            ) + _sgm_scan_1d(
+                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=True,
+                unroll=ur, restart=restart_t,
+            )
+            agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
+    return agg
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -434,48 +526,17 @@ def sgm_disparity(
     cost = jnp.where(border, cost, 1e4)
 
     cdhw = jnp.moveaxis(cost, 0, -1)  # [H, W, D]
-
-    ur = cfg.scan_unroll
-    agg = _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=False,
-                       unroll=ur)  # left->right
-    agg = agg + _sgm_scan_1d(cdhw, cfg.p1, cfg.p2, reverse=True,
-                             unroll=ur)  # right->left
-    cthw = jnp.swapaxes(cdhw, 0, 1)  # [W, H, D]
-    agg_v = _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=False, unroll=ur)
-    agg_v = agg_v + _sgm_scan_1d(cthw, cfg.p1, cfg.p2, reverse=True,
-                                 unroll=ur)
-    agg = agg + jnp.swapaxes(agg_v, 0, 1)
-
-    if cfg.num_directions >= 8:
-        # Diagonal directions via row-shear: shift row i by +/- i columns so
-        # diagonals become columns, scan vertically, unshear. Deviation from
-        # cv::StereoSGBM: the modular shear wraps a diagonal that exits the
-        # right edge back in on the left, so the DP carry continues across
-        # the border instead of restarting. The stale carry's influence is
-        # bounded (best - m <= p2 at the first wrapped pixel, decaying along
-        # the path) and only touches image-edge columns that the border mask
-        # and post-filters already treat as low-confidence.
-        def shear(x, sign):
-            idx = (
-                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-            ) % w
-            return jnp.take_along_axis(x, idx[..., None], axis=1)
-
-        for sign in (+1, -1):
-            sheared = shear(cdhw, sign)
-            a = _sgm_scan_1d(
-                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=False,
-                unroll=ur,
-            ) + _sgm_scan_1d(
-                jnp.swapaxes(sheared, 0, 1), cfg.p1, cfg.p2, reverse=True,
-                unroll=ur,
-            )
-            agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
-
+    agg = sgm_aggregate(cdhw, cfg)
     cost_agg = jnp.moveaxis(agg, -1, 0)  # [D, H, W]
     disp, c0, best = _wta_subpixel(cost_agg, cfg.min_disparity)
     valid = _uniqueness_mask(cost_agg, best, c0, cfg.uniqueness_ratio)
+    if cfg.disp_12_max_diff >= 0:
+        # cv::StereoSGBM runs validateDisparity whenever
+        # disp12MaxDiff >= 0 (the reference passes 0, common.h:91): the
+        # right-view winner of the AGGREGATED volume must agree with the
+        # left winner to within max_diff indices.
+        valid &= _lr_consistency_mask(cost_agg, best, cfg.min_disparity,
+                                      cfg.disp_12_max_diff)
     valid &= mask & jnp.any(border, axis=0)
     valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
                           cfg.speckle_range)

@@ -35,6 +35,7 @@ from aerial_mapper_tpu.stereo.matching import (
     _border_mask,
     _box_filter,
     _bt_cost,
+    _lr_consistency_mask,
     _speckle_mask,
     _uniqueness_mask,
     _wta_subpixel,
@@ -44,12 +45,19 @@ from aerial_mapper_tpu.stereo.matching import (
 _LANES = 128
 
 
-def _sgm_scan_kernel(cost_ref, out_ref, *, width: int, p1: float, p2: float):
+def _sgm_scan_kernel(*refs, width: int, p1: float, p2: float,
+                     has_restart: bool):
     """One row tile: cost_ref/out_ref [1, tile_h, D, W_pad] in VMEM.
 
     Walks columns 0..width-1 with the SGM recurrence; the carry [tile_h, D]
-    lives in registers/VMEM.
+    lives in registers/VMEM. With ``has_restart`` an extra
+    [1, tile_h, W_pad] float mask marks segment starts where the DP resets
+    (out = raw cost) — the diagonal passes' border restart.
     """
+    if has_restart:
+        cost_ref, restart_ref, out_ref = refs
+    else:
+        cost_ref, out_ref = refs
     init = cost_ref[0, :, :, 0]  # [tile_h, D]
     out_ref[0, :, :, 0] = init
 
@@ -65,6 +73,10 @@ def _sgm_scan_kernel(cost_ref, out_ref, *, width: int, p1: float, p2: float):
         best = jnp.minimum(jnp.minimum(carry, up),
                            jnp.minimum(down, m + p2))
         out = c + best - m
+        if has_restart:
+            # r = 1 at a segment start: drop the carry entirely
+            r = restart_ref[0, :, w][:, None]  # [tile_h, 1]
+            out = c + (best - m) * (1.0 - r)
         out_ref[0, :, :, w] = out
         return out
 
@@ -80,10 +92,21 @@ def sgm_aggregate_pallas(
     reverse: bool = False,
     tile_h: int = 64,
     interpret: bool = False,
+    restart: jax.Array | None = None,  # [H, W] bool segment starts (fwd)
 ) -> jax.Array:
     """One directional aggregation along W. Matches
-    ``_sgm_scan_1d(cost, p1, p2, reverse)`` (matching.py)."""
+    ``_sgm_scan_1d(cost, p1, p2, reverse, restart=...)`` (matching.py),
+    including the diagonal passes' border-restart flags."""
     h, w, d = cost.shape
+    if restart is not None:
+        if reverse:
+            # segment start in reverse order == forward segment end
+            restart = jnp.concatenate(
+                [restart[:, 1:], jnp.ones_like(restart[:, :1])], axis=1
+            )
+        rmask = restart.astype(cost.dtype)
+        if reverse:
+            rmask = jnp.flip(rmask, axis=1)
     if reverse:
         cost = jnp.flip(cost, axis=1)
 
@@ -98,14 +121,24 @@ def sgm_aggregate_pallas(
     chw = jnp.pad(chw, ((0, pad_h), (0, 0), (0, w_pad)))
     chw = chw.reshape(n_tiles, tile_h, d, w + w_pad)
 
-    kernel = partial(_sgm_scan_kernel, width=w, p1=float(p1), p2=float(p2))
+    kernel = partial(_sgm_scan_kernel, width=w, p1=float(p1), p2=float(p2),
+                     has_restart=restart is not None)
+    operands = [chw]
+    in_specs = [
+        pl.BlockSpec((1, tile_h, d, w + w_pad), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    if restart is not None:
+        rm = jnp.pad(rmask, ((0, pad_h), (0, w_pad)))
+        operands.append(rm.reshape(n_tiles, tile_h, w + w_pad))
+        in_specs.append(
+            pl.BlockSpec((1, tile_h, w + w_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     agg = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, tile_h, d, w + w_pad), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_h, d, w + w_pad),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -113,7 +146,7 @@ def sgm_aggregate_pallas(
             (n_tiles, tile_h, d, w + w_pad), cost.dtype
         ),
         interpret=interpret,
-    )(chw)
+    )(*operands)
 
     agg = agg.reshape(n_tiles * tile_h, d, w + w_pad)[:h, :, :w]
     agg = jnp.moveaxis(agg, 1, 2)  # [H, W, D]
@@ -168,15 +201,27 @@ def sgm_disparity_pallas(
 
         for sign in (+1, -1):
             swhd = jnp.swapaxes(shear(chwd, sign), 0, 1)  # [W, H, D]
+            # same border-restart flags as the XLA path: a new diagonal
+            # segment begins where the sheared source column wraps
+            src_col = (
+                jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+                + sign * jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+            ) % w
+            restart = jnp.swapaxes(
+                src_col == (0 if sign > 0 else w - 1), 0, 1
+            )  # [W, H]
             a = sgm_aggregate_pallas(swhd, cfg.p1, cfg.p2, reverse=False,
-                                     **kw)
+                                     restart=restart, **kw)
             a = a + sgm_aggregate_pallas(swhd, cfg.p1, cfg.p2, reverse=True,
-                                         **kw)
+                                         restart=restart, **kw)
             agg = agg + shear(jnp.swapaxes(a, 0, 1), -sign)
 
     cost_agg = jnp.moveaxis(agg, -1, 0)  # [D, H, W]
     disp, c0, best = _wta_subpixel(cost_agg, cfg.min_disparity)
     valid = _uniqueness_mask(cost_agg, best, c0, cfg.uniqueness_ratio)
+    if cfg.disp_12_max_diff >= 0:
+        valid &= _lr_consistency_mask(cost_agg, best, cfg.min_disparity,
+                                      cfg.disp_12_max_diff)
     valid &= mask & jnp.any(border, axis=0)
     valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
                           cfg.speckle_range)

@@ -71,8 +71,13 @@ def run_reference_pipeline_cpu(
     growth: float = 1.1,
     max_radius_sq: float = 7.0,
     num_threads: int = 0,
+    matcher_kind: str = "bm",
 ):
     """Run stereo -> DSM -> ortho on the CPU exactly as the reference would.
+
+    ``matcher_kind``: "bm" (cv2.StereoBM, the demo flagfiles' choice) or
+    "sgbm" (cv2.StereoSGBM with the reference defaults, common.h:85-96 —
+    the reference's code default, use_BM = false).
 
     Returns (elevation [H, W], ortho [H, W], timings dict with
     'stereo'/'dsm'/'ortho'/'total' seconds).
@@ -86,12 +91,22 @@ def run_reference_pipeline_cpu(
     if len(idx) < 2:
         raise ValueError("need at least two subsampled frames")
 
-    matcher = cv2.StereoBM_create(numDisparities=num_disparities,
-                                  blockSize=block_size)
-    matcher.setTextureThreshold(texture_threshold)
-    matcher.setUniquenessRatio(uniqueness_ratio)
-    matcher.setPreFilterCap(31)  # common.h:104 (pre_filter_size is the
-    # reference wrapper's documented no-op, block-matching-bm.h:32-33)
+    if matcher_kind == "sgbm":
+        # reference SGBM defaults (common.h:85-96); block_size there is 9
+        sg_block = 9 if block_size == 15 else block_size
+        matcher = cv2.StereoSGBM_create(
+            minDisparity=1, numDisparities=num_disparities,
+            blockSize=sg_block, P1=120, P2=250, uniquenessRatio=10,
+            disp12MaxDiff=0, speckleWindowSize=100, speckleRange=20,
+            preFilterCap=35,
+        )
+    else:
+        matcher = cv2.StereoBM_create(numDisparities=num_disparities,
+                                      blockSize=block_size)
+        matcher.setTextureThreshold(texture_threshold)
+        matcher.setUniquenessRatio(uniqueness_ratio)
+        matcher.setPreFilterCap(31)  # common.h:104 (pre_filter_size is the
+        # reference wrapper's documented no-op, block-matching-bm.h:32-33)
 
     h, w = images.shape[1], images.shape[2]
     all_pts, all_valid = [], []

@@ -158,3 +158,40 @@ def backward_grid_reference(
                 kp_y = min(int(round(v)), height - 1)
                 ortho[ci] = images[i][kp_y, kp_x]
     return ortho, angle, obs
+
+
+def sgm_aggregate_reference(cost_hwd: np.ndarray, p1: float, p2: float,
+                            num_directions: int = 8) -> np.ndarray:
+    """Loop-faithful SGM directional aggregation oracle, [H, W, D] float64.
+
+    Per-path Hirschmuller recurrence with a fresh restart at every image
+    border (what cv::StereoSGBM's per-direction Lr buffers do) — the
+    parity target for ``stereo.matching.sgm_aggregate``'s sheared
+    restart-flag formulation. Mirrors its d-edge treatment exactly
+    (the d+-1 neighbor index is CLAMPED, costing that copy +p1).
+    """
+    h, w, d = cost_hwd.shape
+    c = cost_hwd.astype(np.float64)
+    dirs4 = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    dirs8 = dirs4 + [(1, 1), (-1, -1), (1, -1), (-1, 1)]
+    dirs = dirs8 if num_directions >= 8 else dirs4
+    agg = np.zeros_like(c)
+    for di, dj in dirs:
+        L = np.zeros_like(c)
+        ii = range(h) if di >= 0 else range(h - 1, -1, -1)
+        for i in ii:
+            jj = range(w) if dj >= 0 else range(w - 1, -1, -1)
+            for j in jj:
+                pi, pj = i - di, j - dj
+                if 0 <= pi < h and 0 <= pj < w:
+                    prev = L[pi, pj]
+                    m = prev.min()
+                    up = prev[np.maximum(np.arange(d) - 1, 0)] + p1
+                    down = prev[np.minimum(np.arange(d) + 1, d - 1)] + p1
+                    best = np.minimum(np.minimum(prev, up),
+                                      np.minimum(down, m + p2))
+                    L[i, j] = c[i, j] + best - m
+                else:
+                    L[i, j] = c[i, j]
+        agg += L
+    return agg

@@ -64,3 +64,26 @@ def test_cpu_pipeline_agrees_with_jax_pipeline():
     # differences; the textured mosaics must still agree closely
     agree = np.abs(ortho_jax[both] - ortho_cpu[both]) < 4.0
     assert agree.mean() > 0.9
+
+
+@pytest.mark.skipif(load_native() is None,
+                    reason="native baseline library not built")
+def test_cpu_pipeline_sgbm_matches_ground_truth():
+    """Same end-to-end CPU drive through cv2.StereoSGBM with the reference
+    defaults (common.h:85-96) — the reference's code-default matcher."""
+    ds = make_dataset()
+    quats, trans = ds.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats])
+    images = np.stack(ds.images)
+    geom = MapGeometry(center_easting=30.0, center_northing=0.0,
+                       resolution=0.5, height=100, width=120)
+    elev, ortho, _timings = run_reference_pipeline_cpu(
+        CAM.K, Rs, trans, images, geom, use_every_nth=1, num_disparities=48,
+        matcher_kind="sgbm",
+    )
+    cov = np.isfinite(elev)
+    assert cov.mean() > 0.9
+    ce, cn = cell_centers(geom)
+    truth = np.asarray(SCENE.height(ce, cn))
+    rmse = float(np.sqrt(np.mean((elev[cov] - truth[cov]) ** 2)))
+    assert rmse < geom.resolution

@@ -273,3 +273,54 @@ def test_lr_consistency_matches_bruteforce_oracle():
         )
         ref = _lr_reference_loop(cost, min_disp)
         np.testing.assert_array_equal(ours, ref, err_msg=f"{min_disp=}")
+
+
+def test_sgm_aggregate_matches_loop_oracle():
+    """The sheared restart-flag aggregation must equal the per-path loop
+    oracle (fresh DP restart at every border) for 4 AND 8 directions —
+    the 8-dir case exercises the modular shear's wrap restart."""
+    from aerial_mapper_tpu.stereo.matching import sgm_aggregate
+    from aerial_mapper_tpu.testing.numpy_ref import sgm_aggregate_reference
+
+    rng = np.random.default_rng(5)
+    cost = rng.uniform(0.0, 50.0, size=(12, 9, 5))  # H > W: many wraps
+    for ndirs in (4, 8):
+        cfg = SgmConfig(num_directions=ndirs, p1=7.0, p2=30.0)
+        ours = np.asarray(
+            sgm_aggregate(jnp.asarray(cost, jnp.float32), cfg)
+        )
+        ref = sgm_aggregate_reference(cost, 7.0, 30.0, ndirs)
+        np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-3)
+
+
+def test_sgm_against_cv2_stereosgbm_oracle():
+    """cv2.StereoSGBM oracle on the rendered synthetic pair (the reference
+    wraps exactly this matcher, block-matching-sgbm.cpp:13-37): where both
+    accept a pixel the disparities must agree closely."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+
+    rect, R, t1, t2 = render_rect_pair()
+    num_disp = 48  # multiple of 16 as cv2 requires
+    cfg = SgmConfig(num_disparities=num_disp, min_disparity=1)
+    ours = np.asarray(
+        sgm_disparity(rect.image_left, rect.image_right, rect.mask, cfg)
+    )
+    matcher = cv2.StereoSGBM_create(
+        minDisparity=cfg.min_disparity, numDisparities=num_disp,
+        blockSize=cfg.block_size, P1=int(cfg.p1), P2=int(cfg.p2),
+        uniquenessRatio=cfg.uniqueness_ratio, disp12MaxDiff=0,
+        speckleWindowSize=cfg.speckle_window_size,
+        speckleRange=int(cfg.speckle_range), preFilterCap=35,
+        mode=cv2.STEREO_SGBM_MODE_HH,  # full 8-direction aggregation
+    )
+    l8 = np.asarray(rect.image_left).astype(np.uint8)
+    r8 = np.asarray(rect.image_right).astype(np.uint8)
+    d_cv = matcher.compute(l8, r8).astype(np.float32) / 16.0
+    mask = np.asarray(rect.mask)
+    both = (ours > 1.0) & (d_cv > 1.0) & mask
+    assert both.mean() > 0.2, f"joint valid fraction {both.mean():.3f}"
+    err = np.abs(ours[both] - d_cv[both])
+    assert np.median(err) < 0.5, f"median |ours - cv2| = {np.median(err)}"
+    assert (err < 1.0).mean() > 0.9, f"within-1px rate {(err < 1.0).mean()}"
