@@ -62,6 +62,10 @@ class SgmConfig:
     num_directions: int = 8  # 4 or 8 scan directions (cv full-8 parity)
     speckle_window_size: int = 100
     speckle_range: float = 20.0
+    # "windowed" (fast support-count approximation) or "cc"
+    # (cv::filterSpeckles-parity connected components; ~2 gathers x
+    # log2(H*W) iterations costlier — the parity mode).
+    speckle_mode: str = "windowed"
     # Left-right consistency (cv::validateDisparity): max allowed index
     # difference between the left winner and the right-view winner at its
     # match column; 0 = exact agreement (the reference default,
@@ -91,6 +95,8 @@ class BlockMatchingConfig:
     pre_filter_size: int = 9
     speckle_window_size: int = 100
     speckle_range: float = 5.0
+    # "windowed" or "cc" — see SgmConfig.speckle_mode.
+    speckle_mode: str = "windowed"
     # cv::validateDisparity max index difference (reference: 0,
     # common.h:106); negative disables the LR check.
     disp_12_max_diff: int = 0

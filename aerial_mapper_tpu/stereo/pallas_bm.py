@@ -37,7 +37,7 @@ from aerial_mapper_tpu.config import BlockMatchingConfig
 from aerial_mapper_tpu.stereo.matching import (
     INVALID_DISPARITY,
     _box_filter,
-    _speckle_mask,
+    apply_speckle_filter,
     _xsobel_prefilter,
     use_integer_costs,
 )
@@ -196,6 +196,5 @@ def block_matching_disparity_pallas(
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     valid &= (u - disp) >= 0.0  # right pixel exists
     valid &= mask
-    valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
-                          cfg.speckle_range)
+    valid = apply_speckle_filter(disp, valid, cfg)
     return jnp.where(valid, disp, INVALID_DISPARITY)

@@ -36,7 +36,7 @@ from aerial_mapper_tpu.stereo.matching import (
     _box_filter,
     _bt_cost,
     _lr_consistency_mask,
-    _speckle_mask,
+    apply_speckle_filter,
     _uniqueness_mask,
     _wta_subpixel,
     _xsobel_prefilter,
@@ -223,6 +223,5 @@ def sgm_disparity_pallas(
         valid &= _lr_consistency_mask(cost_agg, best, cfg.min_disparity,
                                       cfg.disp_12_max_diff)
     valid &= mask & jnp.any(border, axis=0)
-    valid = _speckle_mask(disp, valid, cfg.speckle_window_size,
-                          cfg.speckle_range)
+    valid = apply_speckle_filter(disp, valid, cfg)
     return jnp.where(valid, disp, INVALID_DISPARITY)

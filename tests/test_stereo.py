@@ -324,3 +324,87 @@ def test_sgm_against_cv2_stereosgbm_oracle():
     err = np.abs(ours[both] - d_cv[both])
     assert np.median(err) < 0.5, f"median |ours - cv2| = {np.median(err)}"
     assert (err < 1.0).mean() > 0.9, f"within-1px rate {(err < 1.0).mean()}"
+
+
+def test_speckle_cc_matches_cv2_filterspeckles():
+    """Connected-component speckle mode vs cv2.filterSpeckles: identical
+    surviving-pixel sets (same 4-connectivity |dd| <= range edge rule and
+    count <= maxSpeckleSize kill rule)."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from aerial_mapper_tpu.stereo.matching import _speckle_mask_cc
+
+    rng = np.random.default_rng(9)
+    h, w = 60, 80
+    # piecewise-constant patches + salt noise -> many region sizes,
+    # including snakes; integer-valued so the cv int16 comparison is exact
+    base = rng.integers(2, 30, size=(h // 10, w // 10)).repeat(10, 0).repeat(10, 1)
+    noise = rng.integers(0, 60, size=(h, w)) * (rng.random((h, w)) < 0.07)
+    disp = (base + noise).astype(np.float32)
+    valid = rng.random((h, w)) > 0.1
+
+    for max_size, rng_d in ((24, 3), (100, 1)):
+        ours = np.asarray(
+            _speckle_mask_cc(
+                jnp.asarray(disp), jnp.asarray(valid), max_size, float(rng_d)
+            )
+        )
+        new_val = -1600
+        img = np.where(valid, (disp * 16).astype(np.int16),
+                       np.int16(new_val))
+        cv2.filterSpeckles(img, new_val, max_size, rng_d * 16)
+        cv_keep = img != new_val
+        np.testing.assert_array_equal(
+            ours, cv_keep & valid, err_msg=f"{max_size=} {rng_d=}"
+        )
+
+
+def test_speckle_cc_serpentine_worst_case():
+    """A width-1 serpentine corridor maximizes geodesic diameter per pixel
+    — the hardest case for the log-iteration labeler. A long snake must
+    survive as ONE region; a short one must die entirely."""
+    from aerial_mapper_tpu.stereo.matching import _speckle_mask_cc
+
+    h, w = 40, 50
+
+    def snake_mask(rows):
+        m = np.zeros((h, w), bool)
+        for k, r in enumerate(range(0, rows, 2)):
+            m[r, :] = True  # full row
+            if r + 1 < h:
+                m[r + 1, w - 1 if k % 2 == 0 else 0] = True  # connector
+        return m
+
+    long_m = snake_mask(30)  # ~750 px, diameter ~ area
+    disp = jnp.full((h, w), 10.0)
+    keep = np.asarray(
+        _speckle_mask_cc(disp, jnp.asarray(long_m), 100, 1.0)
+    )
+    np.testing.assert_array_equal(keep, long_m)  # survives intact
+
+    short_m = np.zeros((h, w), bool)
+    short_m[0, :30] = True  # 30 px < 100
+    keep = np.asarray(
+        _speckle_mask_cc(disp, jnp.asarray(short_m), 100, 1.0)
+    )
+    assert not keep.any()
+
+
+def test_block_matching_cc_speckle_mode():
+    """End-to-end BM with the cv-parity CC speckle filter: quality holds
+    and the surviving set differs only in small islands vs windowed."""
+    import dataclasses
+
+    rect, R, t1, t2 = render_rect_pair()
+    cfg = BlockMatchingConfig(num_disparities=48, speckle_mode="cc")
+    disp = block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask, cfg)
+    _disparity_quality(disp, rect, t1)
+    d_win = np.asarray(block_matching_disparity(
+        rect.image_left, rect.image_right, rect.mask,
+        dataclasses.replace(cfg, speckle_mode="windowed")))
+    d_cc = np.asarray(disp)
+    both = (d_cc > 1.0) & (d_win > 1.0)
+    # identical disparities where both accept (the filters only mask)
+    np.testing.assert_array_equal(d_cc[both], d_win[both])
