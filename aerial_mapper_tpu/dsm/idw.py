@@ -120,6 +120,7 @@ def bin_points(
     west=None,
     row_offset=0,
     col_offset=0,
+    rank=None,
 ) -> BinnedPoints:
     """Scatter points (x=easting, y=northing) into per-cell slots.
 
@@ -139,6 +140,11 @@ def bin_points(
     on a single device, so IDW knife-edge cases (a distance exactly at the
     radius, the adaptive ladder's ceil) cannot diverge between shardings
     (test_parallel.py asserts bit-identical rasters).
+
+    ``rank`` (optional int32 [N], default = position): the nearest-K
+    tie-break key. Owner-tile-routed callers pass each point's GLOBAL
+    index so slot assignment is bit-identical to a single device binning
+    the whole cloud, regardless of arrival order after routing.
     """
     h, w, k = geom.height, geom.width, capacity
     n = points_xy.shape[0]
@@ -213,11 +219,18 @@ def bin_points(
     qd2 = jnp.where(
         in_map, jnp.minimum(d2_own * qscale, 2.0 ** 30), 2.0 ** 30
     ).astype(jnp.int32)
-    # (cell, qd2, idx) triples are all distinct (idx is), so an unstable
-    # 3-key sort yields a deterministic total order
-    sorted_ids, _, sorted_idx = jax.lax.sort(
-        (cell_id, qd2, idx), num_keys=3, is_stable=False
-    )
+    # (cell, qd2, rank, idx) tuples are all distinct (idx is), so an
+    # unstable 4-key sort yields a deterministic total order; rank defaults
+    # to idx (one key collapses)
+    if rank is None:
+        sorted_ids, _, sorted_idx = jax.lax.sort(
+            (cell_id, qd2, idx), num_keys=3, is_stable=False
+        )
+    else:
+        sorted_ids, _, _, sorted_idx = jax.lax.sort(
+            (cell_id, qd2, rank.astype(jnp.int32), idx),
+            num_keys=4, is_stable=False,
+        )
     packed_src = jnp.stack(
         [points_xy[:, 0] - ce, points_xy[:, 1] - cn,
          payload.astype(points_xy.dtype)], axis=-1

@@ -199,6 +199,7 @@ def backward_grid_update(
     cam: Camera,
     cfg: OrthoBackwardGridConfig,
     row_offset=0,
+    image_ids=None,
 ) -> dict:
     """One batch/incremental backward-grid pass over all map cells.
 
@@ -208,6 +209,12 @@ def backward_grid_update(
     ``updateOrthomosaicLayer`` (ortho-backward-grid.cc:56-121) semantics, so
     calling it again with another image batch implements the incremental mode
     (main-ortho-backward-grid-incremental.cc:143-166).
+
+    ``image_ids`` (optional int32 [N]): global index of each image operand
+    — band-culled callers pass the subset's global ids so the
+    ``observation_index`` layer stays in the full-stack index space (the
+    first-max tie-break still follows operand order, which a cull that
+    preserves global order keeps identical to the full stack).
     """
     h, w = layers["elevation_angle"].shape
     colored = cfg.colored_ortho
@@ -270,7 +277,12 @@ def backward_grid_update(
 
     value = unflat(value)
     best_alpha = unflat(best_alpha)
-    best_idx = unflat(best.astype(jnp.float32))
+    if image_ids is not None:
+        # translate subset slot -> global image index (the invisible-cell
+        # sentinel best = N clamps into the table; `improved` masks it)
+        best_idx = unflat(image_ids[best].astype(jnp.float32))
+    else:
+        best_idx = unflat(best.astype(jnp.float32))
     improved = unflat(improved)
     n_vis = unflat(n_vis)
 

@@ -37,3 +37,39 @@ def halo_exchange_rows(local: jax.Array, halo: int, axis_name: str) -> jax.Array
     upper = jnp.where(idx > 0, from_above, zeros)
     lower = jnp.where(idx < n - 1, from_below, zeros)
     return jnp.concatenate([upper, local, lower], axis=0)
+
+
+def halo_exchange_extended(ext: jax.Array, halo: int, axis_name: str,
+                           axis: int = 0) -> jax.Array:
+    """Overwrite the halo strips of an ALREADY-extended array with the
+    neighbors' adjacent band rows.
+
+    ``ext`` has ``halo + band + halo`` rows along ``axis``; rows
+    [halo, halo+band) are this tile's own band content, and the outer
+    strips are only meaningful on edge tiles (e.g. the out-of-map halo an
+    edge tile binned itself). Interior strips are replaced by the
+    neighbor's adjacent BAND rows: the top strip becomes the previous
+    tile's last ``halo`` band rows, the bottom strip the next tile's
+    first ``halo`` band rows; edge tiles keep their own strips.
+
+    This is how the owner-tile-routed map step (parallel/sharded.py)
+    completes each band's binned-point structure: each tile bins only the
+    points routed to it, then trades [K, halo, W]-strip slices of the bin
+    arrays over ICI instead of re-binning a replicated cloud.
+    """
+    n = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    x = jnp.moveaxis(ext, axis, 0)
+    band = x.shape[0] - 2 * halo
+
+    top_band = x[halo: 2 * halo]  # my first band rows
+    bottom_band = x[band: band + halo]  # my last band rows
+    send_up = [(i, i - 1) for i in range(1, n)]
+    send_down = [(i, i + 1) for i in range(n - 1)]
+    from_below = jax.lax.ppermute(top_band, axis_name, send_up)
+    from_above = jax.lax.ppermute(bottom_band, axis_name, send_down)
+
+    upper = jnp.where(idx > 0, from_above, x[:halo])
+    lower = jnp.where(idx < n - 1, from_below, x[band + halo:])
+    out = jnp.concatenate([upper, x[halo: band + halo], lower], axis=0)
+    return jnp.moveaxis(out, 0, axis)

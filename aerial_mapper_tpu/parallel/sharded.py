@@ -3,21 +3,31 @@
 TPU-native replacement for the reference's cell-sharded ``utils::parFor``
 thread parallelism (SURVEY.md §2.3): map rasters are split into row bands
 across the ``tiles`` mesh axis; stereo pair batches are split across every
-device. Points are exchanged with one ``all_gather`` (pairs -> tiles
-boundary); raster updates stay entirely local to their band — the IDW
-window never needs a neighbor's *layer* rows because each band bins the
-(replicated) points into an extended band with ``halo`` extra rows on each
-side, which is cheaper than exchanging bin structures over ICI.
+device with RING frames (one frame per pair slot; the boundary frame
+``ppermute``s to the neighbor).
+
+The fused ``sharded_map_step`` SCALES per-device footprint down with the
+mesh: stereo points are ROUTED to their owner tile with a fixed-capacity
+``all_to_all`` (each device bins ~1/n_tiles of the cloud), the interior
+halo rows of the binned structure are completed by trading [K, halo, W]
+strips over ICI (``halo_exchange_extended``), and each band's ortho pass
+textures from a conservatively CULLED image subset
+(``band_image_operands``). The standalone ``sharded_dsm_update`` /
+``sharded_backward_grid_update`` keep the simpler replicated-operand
+layout for single-host batch drivers.
 
 All ops are bit-identical to their single-device counterparts (asserted by
-tests/test_parallel.py) because binning order, window order, and best-angle
-argmax are deterministic and band-local.
+tests/test_parallel.py) because binning order (global-edge arithmetic +
+global-rank tie-break), window order, and best-angle argmax are
+deterministic and band-local; for the routed step this additionally
+requires the returned routing ``overflow`` to be 0.
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -159,42 +169,329 @@ def sharded_backward_grid_update(
 
 
 # ---------------------------------------------------------------------------
-# Fused multi-chip map step: pair-sharded stereo -> tile-sharded raster.
+# Fused multi-chip map step: ring-pass pair-sharded stereo -> owner-tile
+# routed points -> halo-strip-exchanged binned DSM -> band-culled ortho.
 # ---------------------------------------------------------------------------
 
 
+class RingPairOperands(NamedTuple):
+    """Pair operands with ONE frame per pair slot (ring layout).
+
+    ``frames[j]`` is pair j's LEFT frame; the right frame is the next
+    slot's left frame — within a device that is a local shift, across the
+    device boundary a single ``ppermute`` of one frame (SURVEY.md §2.3
+    row 2: the ring-pass of the shared boundary frame, the analogue of the
+    reference's previous-frame reuse, stereo.cpp:127-147). Halves the
+    stereo image HBM + host transfer of the duplicated-image layout.
+    ``tail`` is the right frame of the LAST pair (replicated, one image).
+    """
+
+    frames: jax.Array  # [B, H, W]
+    tail: jax.Array  # [H, W]
+    T1_inv: jax.Array  # [B, 3, 3]
+    T2_inv: jax.Array
+    corners_rect: jax.Array  # [B, 4, 2]
+    R_G_C_rect: jax.Array  # [B, 3, 3]
+    t_G_C1: jax.Array  # [B, 3]
+    baseline: jax.Array  # [B]
+
+
+def prepare_ring_pair_operands(K, Rs, ts, images,
+                               use_every_nth: int = 1) -> RingPairOperands:
+    """Host-side: consecutive (subsampled) frames -> ring pair operands.
+
+    Consecutive pairs share frames (pair j = frames a_j, a_{j+1}), so the
+    ring layout stores each frame once instead of twice."""
+    from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
+
+    ops = prepare_pair_operands(K, Rs, ts, images,
+                                use_every_nth=use_every_nth)
+    return RingPairOperands(
+        frames=ops.image1, tail=ops.image2[-1],
+        T1_inv=ops.T1_inv, T2_inv=ops.T2_inv,
+        corners_rect=ops.corners_rect, R_G_C_rect=ops.R_G_C_rect,
+        t_G_C1=ops.t_G_C1, baseline=ops.baseline,
+    )
+
+
+class BandedImages(NamedTuple):
+    """Per-tile-band image subsets for the ortho pass.
+
+    Cells in one row band see a bounded camera subset, so each band holds
+    only the images whose ground footprint can overlap it (conservative
+    host-side frustum cull, `band_image_operands`) — per-device image
+    bytes shrink with the mesh instead of replicating the full stack
+    (SURVEY.md §2.3 / utils-common.h:29-59 analogue, scaled out).
+    ``ids`` maps local slot -> global image index; -1 marks padding slots
+    whose pose is parked 1e9 m above ground (invisible to every finite
+    cell, so they contribute nothing and keep num_observations exact).
+    """
+
+    images: jax.Array  # [n_tiles, M, H, W]
+    quats: jax.Array  # [n_tiles, M, 4]
+    ts: jax.Array  # [n_tiles, M, 3]
+    ids: jax.Array  # [n_tiles, M] int32, -1 = padding
+
+
+def band_image_operands(
+    geom: MapGeometry,
+    n_tiles: int,
+    quats_G_C,
+    t_G_C,
+    images,
+    cam: Camera,
+    elev_min: float,
+    elev_max: float,
+    margin_cells: float = 2.0,
+) -> BandedImages:
+    """Host-side conservative per-band image cull (pinhole cameras).
+
+    An image can texture a cell only if the cell is inside its view
+    frustum; intersecting the frustum's 4 corner rays with the elevation
+    slab [elev_min, elev_max] bounds the footprint's northing range
+    exactly (the frustum slab section is the convex hull of the 8
+    intersection points). Bands whose row range misses it skip the image.
+    Cameras with any non-descending corner ray (horizon in view) or lens
+    distortion fall back to every band (correct, no cull).
+    """
+    from aerial_mapper_tpu.io.poses import _rot_matrix_np
+
+    quats_np = np.asarray(quats_G_C, np.float64)
+    ts_np = np.asarray(t_G_C, np.float64)
+    n = quats_np.shape[0]
+    band_h = geom.height // n_tiles
+    Kinv = np.linalg.inv(
+        np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
+                  [0.0, 0.0, 1.0]])
+    )
+    corners = np.array(
+        [[-0.5, -0.5, 1.0], [cam.width - 0.5, -0.5, 1.0],
+         [cam.width - 0.5, cam.height - 0.5, 1.0],
+         [-0.5, cam.height - 0.5, 1.0]]
+    ).T  # [3, 4]
+    margin = margin_cells * geom.resolution
+    members = [[] for _ in range(n_tiles)]
+    for i in range(n):
+        every_band = cam.dist_kind != "none"
+        if not every_band:
+            R = _rot_matrix_np(quats_np[i])  # camera-to-world
+            dirs = R @ (Kinv @ corners)  # [3, 4] world rays
+            if np.any(dirs[2] >= -1e-12):  # horizon/ascending corner ray
+                every_band = True
+            else:
+                ns = []
+                for z0 in (elev_min, elev_max):
+                    s = (z0 - ts_np[i, 2]) / dirs[2]
+                    ns.append(ts_np[i, 1] + s * dirs[1])
+                n_lo = min(min(v) for v in ns) - margin
+                n_hi = max(max(v) for v in ns) + margin
+                r_lo = int(np.floor((geom.north - n_hi) / geom.resolution))
+                r_hi = int(np.ceil((geom.north - n_lo) / geom.resolution))
+                t_lo = max(r_lo // band_h, 0)
+                t_hi = min(r_hi // band_h, n_tiles - 1)
+                for t in range(t_lo, t_hi + 1):
+                    members[t].append(i)
+        if every_band:
+            for t in range(n_tiles):
+                members[t].append(i)
+
+    m = max(1, max(len(mm) for mm in members))
+    img_np = np.asarray(images)
+    out_imgs = np.zeros((n_tiles, m) + img_np.shape[1:], img_np.dtype)
+    out_quats = np.zeros((n_tiles, m, 4), np.float32)
+    out_quats[..., 0] = 1.0  # identity padding
+    out_ts = np.zeros((n_tiles, m, 3), np.float32)
+    out_ts[..., 2] = 1.0e9  # padding pose far above ground: never visible
+    out_ids = np.full((n_tiles, m), -1, np.int32)
+    for t, mm in enumerate(members):
+        out_imgs[t, : len(mm)] = img_np[mm]
+        out_quats[t, : len(mm)] = quats_np[mm]
+        out_ts[t, : len(mm)] = ts_np[mm]
+        out_ids[t, : len(mm)] = mm
+    return BandedImages(
+        images=jnp.asarray(out_imgs),
+        quats=jnp.asarray(out_quats),
+        ts=jnp.asarray(out_ts),
+        ids=jnp.asarray(out_ids),
+    )
+
+
+def _route_points(pts, valid, rank, geom: MapGeometry, n_tiles: int,
+                  cap: int, tiles_axis: str):
+    """Send each point to its owner tile (row band) with a fixed
+    per-destination capacity; returns (pts, valid, rank, overflow) where
+    the received arrays are [n_tiles * cap, ...].
+
+    The dest row uses the same floor arithmetic as ``bin_points`` against
+    the GLOBAL north edge, so a routed point always lands inside its
+    owner's extended band. Out-of-map rows clamp to the edge tiles (their
+    extended bands hold the out-of-map halo). ``overflow`` counts valid
+    points dropped because a destination bucket exceeded ``cap`` —
+    exactness requires it to be 0 (the caller sizes cap and checks).
+    """
+    n = pts.shape[0]
+    band_h = geom.height // n_tiles
+    row_g = jnp.floor((geom.north - pts[:, 1]) / geom.resolution)
+    row_i = jnp.clip(row_g, -2.0**30, 2.0**30).astype(jnp.int32)
+    dest = jnp.clip(jnp.floor_divide(row_i, band_h), 0, n_tiles - 1)
+    ok_pt = valid & jnp.isfinite(pts[:, 0]) & jnp.isfinite(pts[:, 1])
+    dest = jnp.where(ok_pt, dest, n_tiles)
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, sidx = jax.lax.sort((dest, idx), num_keys=2, is_stable=False)
+    counts = jnp.zeros(n_tiles + 1, jnp.int32).at[dest].add(1)
+    starts = jnp.cumsum(counts) - counts  # exclusive prefix
+    pos = starts[:n_tiles, None] + jnp.arange(cap, dtype=jnp.int32)[None]
+    in_bucket = pos < (starts[:n_tiles] + counts[:n_tiles])[:, None]
+    src = sidx[jnp.minimum(pos, n - 1).reshape(-1)]  # [n_tiles*cap]
+
+    # one row gather for everything: xyz + valid + bitcast rank channel
+    packed = jnp.concatenate(
+        [pts.astype(jnp.float32),
+         valid.astype(jnp.float32)[:, None],
+         jax.lax.bitcast_convert_type(
+             rank.astype(jnp.int32), jnp.float32)[:, None]],
+        axis=1,
+    )  # [N, 5]
+    rows = packed[src]
+    okf = in_bucket.reshape(-1)
+    rows = jnp.where(okf[:, None], rows, 0.0)
+    overflow = jnp.sum(jnp.maximum(counts[:n_tiles] - cap, 0))
+
+    recv = jax.lax.all_to_all(rows, tiles_axis, 0, 0, tiled=True)
+    r_pts = recv[:, :3]
+    r_valid = recv[:, 3] > 0.5
+    r_rank = jax.lax.bitcast_convert_type(recv[:, 4], jnp.int32)
+    # zeroed padding rows bitcast to rank 0 — mask them to the max rank so
+    # they can never displace a real point in the nearest-K tie-break
+    r_rank = jnp.where(r_valid, r_rank, jnp.int32(2**31 - 1))
+    return r_pts, r_valid, r_rank, overflow
+
+
+def _dsm_band_update_routed(elevation_band, pts, valid, rank,
+                            geom: MapGeometry, cfg: DsmConfig,
+                            tiles_axis: str):
+    """Band DSM update from OWNER-ROUTED points only.
+
+    Bins this band's points into a halo-extended band (global-edge
+    arithmetic, global rank tie-break), then completes the interior halo
+    rows by trading [K, halo, W] strips of the binned structure with the
+    neighbors (`halo_exchange_extended`) — bit-identical to binning a
+    replicated cloud, at 1/n_tiles of the points per device.
+    """
+    from aerial_mapper_tpu.parallel.halo import halo_exchange_extended
+
+    n_tiles = jax.lax.psum(1, tiles_axis)
+    band_h = elevation_band.shape[0]
+    halo = _window_halfwidth(
+        cfg.max_radius_sq if cfg.adaptive_interpolation
+        else cfg.interpolation_radius_sq,
+        geom.resolution,
+    )
+    ext_geom = MapGeometry(
+        geom.center_easting, geom.center_northing, geom.resolution,
+        band_h + 2 * halo, geom.width + 2 * halo,
+    )
+    row0 = jax.lax.axis_index(tiles_axis) * band_h
+    binned = bin_points(
+        pts[:, :2], pts[:, 2], valid, ext_geom, cfg.bin_capacity,
+        north=geom.north, west=geom.west,
+        row_offset=halo - row0, col_offset=halo, rank=rank,
+    )
+    ex = partial(halo_exchange_extended, halo=halo, axis_name=tiles_axis,
+                 axis=1)
+    binned = binned._replace(
+        de=ex(binned.de), dn=ex(binned.dn), payload=ex(binned.payload),
+        count=halo_exchange_extended(binned.count, halo, tiles_axis, axis=0),
+    )
+    idw_kw = dict(
+        radius_sq=cfg.interpolation_radius_sq,
+        adaptive=cfg.adaptive_interpolation,
+        growth=cfg.adaptive_growth_factor,
+        max_radius_sq=cfg.max_radius_sq,
+    )
+    if cfg.idw_kernel == "pallas":
+        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
+
+        values, hit = binned_idw_pallas(
+            binned, ext_geom, interpret=jax.default_backend() == "cpu",
+            **idw_kw,
+        )
+    else:
+        values, hit = binned_idw(binned, ext_geom, **idw_kw)
+    values = values[halo: halo + band_h, halo: halo + geom.width]
+    hit = hit[halo: halo + band_h, halo: halo + geom.width]
+    del n_tiles
+    return jnp.where(hit, values, elevation_band)
+
+
 def _map_step_body(
-    layers, ops: PairOperands, quats, ts, images,
+    layers, ops: RingPairOperands, b_imgs, b_quats, b_ts, b_ids,
     geom: MapGeometry, cam: Camera,
     dsm_cfg: DsmConfig, ortho_cfg: OrthoBackwardGridConfig,
-    matcher, bm_cfg, sgm_cfg, pairs_axis, tiles_axis,
+    matcher, bm_cfg, sgm_cfg, pairs_axis, tiles_axis, cap,
 ):
-    # 1) local stereo pairs -> points (data-parallel over ALL devices)
+    axes = (pairs_axis, tiles_axis)
+    n_tiles = jax.lax.psum(1, tiles_axis)
+    n_dev = jax.lax.psum(1, axes)
+    flat_idx = jax.lax.axis_index(axes)
+
+    # 1) ring-pass: reconstruct each pair's right frame from the NEXT
+    #    slot's left frame; only the device-boundary frame moves over ICI
+    frames = ops.frames  # [b_loc, H, W]
+    b_loc = frames.shape[0]
+    from_next = jax.lax.ppermute(
+        frames[0], axes, [(i + 1, i) for i in range(n_dev - 1)]
+    )
+    last_right = jnp.where(flat_idx == n_dev - 1, ops.tail, from_next)
+    pair_ops = PairOperands(
+        image1=frames,
+        image2=jnp.concatenate([frames[1:], last_right[None]], axis=0),
+        T1_inv=ops.T1_inv, T2_inv=ops.T2_inv,
+        corners_rect=ops.corners_rect, R_G_C_rect=ops.R_G_C_rect,
+        t_G_C1=ops.t_G_C1, baseline=ops.baseline,
+    )
+
+    # 2) local stereo pairs -> points (data-parallel over ALL devices)
     pts, intens, valid = process_pairs_batched(
-        ops, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
+        pair_ops, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
         batch_chunk=1,
     )
-    # 2) gather every device's points (pairs axis AND tiles axis both carry
-    #    distinct pairs; gather over both to reconstruct the full cloud)
-    pts = jax.lax.all_gather(pts, pairs_axis, tiled=True)
-    valid = jax.lax.all_gather(valid, pairs_axis, tiled=True)
-    pts = jax.lax.all_gather(pts, tiles_axis, tiled=True)
-    valid = jax.lax.all_gather(valid, tiles_axis, tiled=True)
-    pts_flat = pts.reshape(-1, 3)
-    valid_flat = valid.reshape(-1)
+    hw = pts.shape[1]
+    pts_f = pts.reshape(-1, 3)
+    valid_f = valid.reshape(-1)
+    # global point rank (= the index the point would have in the
+    # single-device full-batch cloud): pair batch is sharded row-major
+    # over the flattened (pairs, tiles) mesh
+    rank = flat_idx * (b_loc * hw) + jnp.arange(b_loc * hw, dtype=jnp.int32)
 
-    # 3) tile-sharded DSM band update
-    new_elev = _dsm_band_update(
-        layers["elevation"], pts_flat, valid_flat, geom, dsm_cfg, tiles_axis
+    # 3) owner-tile routing (all_to_all over tiles) + gather over the
+    #    pairs axis: each device ends with ~cap * n_tiles * n_pairs points
+    #    instead of the full cloud
+    r_pts, r_valid, r_rank, overflow = _route_points(
+        pts_f, valid_f, rank, geom, n_tiles, cap, tiles_axis
     )
+    r_pts = jax.lax.all_gather(r_pts, pairs_axis, tiled=True)
+    r_valid = jax.lax.all_gather(r_valid, pairs_axis, tiled=True)
+    r_rank = jax.lax.all_gather(r_rank, pairs_axis, tiled=True)
+    overflow = jax.lax.psum(jax.lax.psum(overflow, tiles_axis), pairs_axis)
+
+    # 4) tile-sharded DSM band update from routed points + halo strips
     layers = dict(layers)
-    layers["elevation"] = new_elev
-
-    # 4) tile-sharded backward-grid ortho against the full image set
-    layers = _ortho_band_update(
-        layers, quats, ts, images, geom, cam, ortho_cfg, tiles_axis
+    layers["elevation"] = _dsm_band_update_routed(
+        layers["elevation"], r_pts, r_valid, r_rank, geom, dsm_cfg,
+        tiles_axis,
     )
-    return layers
+
+    # 5) tile-sharded backward-grid ortho against the band's CULLED
+    #    image subset (b_imgs/b_quats/b_ts/b_ids are [1, M, ...] locals)
+    band_h = layers["elevation"].shape[0]
+    row0 = jax.lax.axis_index(tiles_axis) * band_h
+    layers = backward_grid_update(
+        layers, b_quats[0], b_ts[0], b_imgs[0], geom, cam, ortho_cfg,
+        row_offset=row0.astype(jnp.float32), image_ids=b_ids[0],
+    )
+    return layers, overflow
 
 
 @partial(
@@ -202,14 +499,13 @@ def _map_step_body(
     static_argnames=(
         "geom", "cam", "dsm_cfg", "ortho_cfg", "matcher", "bm_cfg",
         "sgm_cfg", "mesh", "pairs_axis", "tiles_axis",
+        "route_capacity_factor",
     ),
 )
 def sharded_map_step(
     layers: dict,
-    ops: PairOperands,
-    quats_G_C: jax.Array,
-    t_G_C: jax.Array,
-    images: jax.Array,
+    ops: RingPairOperands,
+    banded: BandedImages,
     geom: MapGeometry,
     cam: Camera,
     dsm_cfg: DsmConfig,
@@ -220,47 +516,61 @@ def sharded_map_step(
     sgm_cfg: SgmConfig = SgmConfig(),
     pairs_axis: str = "pairs",
     tiles_axis: str = "tiles",
-) -> dict:
-    """One fused multi-chip incremental mapping step.
+    route_capacity_factor: float = 2.0,
+):
+    """One fused multi-chip incremental mapping step. Returns
+    ``(layers, overflow)``.
 
     Sharding layout (the framework's dp x spatial equivalent of tensor/
-    data-parallel layouts): the stereo pair batch is data-parallel over the
-    flattened (pairs, tiles) mesh; the map rasters are row-band-sharded over
-    ``tiles`` and replicated over ``pairs``. The only cross-device traffic
-    is the point all-gather and XLA's image broadcast, both over ICI.
+    data-parallel layouts): the stereo pair batch is data-parallel over
+    the flattened (pairs, tiles) mesh with RING frames (one frame per
+    slot; the boundary frame ppermutes to the neighbor); the map rasters
+    are row-band-sharded over ``tiles`` and replicated over ``pairs``.
+    Points are ROUTED to their owner tile with a fixed-capacity
+    all_to_all (capacity = route_capacity_factor * fair share), the
+    binned halo strips are exchanged over ICI, and each band textures
+    from its conservatively CULLED image subset — per-device point and
+    image bytes SHRINK with the mesh instead of replicating
+    (VERDICT r1 #2/#5). Bit-identical to the single-device composition
+    whenever ``overflow == 0`` (the caller must check; the routing
+    capacity is a safety factor over a balanced distribution, and
+    overflow > 0 means some points were dropped).
     """
     n_pairs = mesh.shape[pairs_axis]
     n_tiles = mesh.shape[tiles_axis]
-    b = ops.image1.shape[0]
+    b = ops.frames.shape[0]
     if b % (n_pairs * n_tiles) != 0:
         raise ValueError(
             f"pair batch {b} not divisible by device count "
             f"{n_pairs * n_tiles}"
         )
+    hw = ops.frames.shape[1] * ops.frames.shape[2]
+    n_loc = (b // (n_pairs * n_tiles)) * hw
+    cap = min(n_loc, int(-(-route_capacity_factor * n_loc // n_tiles)))
 
     layer_spec = {k: P(tiles_axis, None) for k in layers}
-    pair_spec = PairOperands(
-        image1=P((pairs_axis, tiles_axis)),
-        image2=P((pairs_axis, tiles_axis)),
-        T1_inv=P((pairs_axis, tiles_axis)),
-        T2_inv=P((pairs_axis, tiles_axis)),
-        corners_rect=P((pairs_axis, tiles_axis)),
-        R_G_C_rect=P((pairs_axis, tiles_axis)),
-        t_G_C1=P((pairs_axis, tiles_axis)),
-        baseline=P((pairs_axis, tiles_axis)),
+    dp = P((pairs_axis, tiles_axis))
+    pair_spec = RingPairOperands(
+        frames=dp, tail=P(), T1_inv=dp, T2_inv=dp, corners_rect=dp,
+        R_G_C_rect=dp, t_G_C1=dp, baseline=dp,
     )
+    band_spec = BandedImages(images=P(tiles_axis), quats=P(tiles_axis),
+                             ts=P(tiles_axis), ids=P(tiles_axis))
     fn = jax.shard_map(
         partial(
             _map_step_body, geom=geom, cam=cam, dsm_cfg=dsm_cfg,
             ortho_cfg=ortho_cfg, matcher=matcher, bm_cfg=bm_cfg,
             sgm_cfg=sgm_cfg, pairs_axis=pairs_axis, tiles_axis=tiles_axis,
+            cap=cap,
         ),
         mesh=mesh,
-        in_specs=(layer_spec, pair_spec, P(), P(), P()),
-        out_specs=layer_spec,
+        in_specs=(layer_spec, pair_spec, band_spec.images,
+                  band_spec.quats, band_spec.ts, band_spec.ids),
+        out_specs=(layer_spec, P()),
         check_vma=False,
     )
-    return fn(layers, ops, quats_G_C, t_G_C, images)
+    return fn(layers, ops, banded.images, banded.quats, banded.ts,
+              banded.ids)
 
 
 def shard_layers(layers: dict, mesh: Mesh, axis_name: str = "tiles") -> dict:

@@ -125,16 +125,30 @@ def test_sharded_backward_grid_matches_single_device():
         )
 
 
-def test_sharded_map_step_runs_and_is_consistent():
-    """Fused pairs+tiles step on a (2, 4) mesh: stereo -> DSM -> ortho."""
+def test_sharded_map_step_bit_identical_and_scaled_down():
+    """Fused routed step on a (2, 4) mesh: stereo (ring frames) -> owner-
+    routed DSM (halo strips) -> band-culled ortho must be BIT-identical to
+    the single-device composition, while per-device operand bytes shrink.
+    """
     from aerial_mapper_tpu.config import BlockMatchingConfig
-    from aerial_mapper_tpu.parallel.sharded import sharded_map_step
-    from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
+    from aerial_mapper_tpu.dsm import update_elevation_layer
+    from aerial_mapper_tpu.parallel.sharded import (
+        band_image_operands,
+        prepare_ring_pair_operands,
+        sharded_map_step,
+    )
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
 
     mesh = make_mesh(("pairs", "tiles"), shape=(2, 4))
+    # taller map than one camera footprint so the band cull has bite
+    geom = MapGeometry(center_easting=40.0, center_northing=0.0,
+                       resolution=1.0, height=128, width=48)
     cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120)
     scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
-    Rs, ts = make_survey_poses(9, altitude=514.0, spacing=5.0)
+    Rs, ts = make_survey_poses(9, altitude=474.0, spacing=8.0)
     images = jnp.stack(
         [
             render_image(scene, cam, jnp.asarray(R, jnp.float32),
@@ -142,25 +156,59 @@ def test_sharded_map_step_runs_and_is_consistent():
             for R, t in zip(Rs, ts)
         ]
     )
-    ops = prepare_pair_operands(cam.K, Rs, ts, list(images))
-    assert ops.image1.shape[0] == 8  # divisible by the 8 devices
-
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    ortho_cfg = OrthoBackwardGridConfig(cell_chunk=256)
+    bm_cfg = BlockMatchingConfig(num_disparities=32)
     quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
-    layers = dict(create_map_state(GEOM).layers)
-    out = sharded_map_step(
-        layers, ops, quats, jnp.asarray(ts, jnp.float32), images,
-        GEOM, cam,
-        DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8),
-        OrthoBackwardGridConfig(cell_chunk=256),
-        mesh,
-        bm_cfg=BlockMatchingConfig(num_disparities=32),
+    ts_j = jnp.asarray(ts, jnp.float32)
+
+    ring = prepare_ring_pair_operands(cam.K, Rs, ts, list(images))
+    assert ring.frames.shape[0] == 8  # divisible by the 8 devices
+    banded = band_image_operands(
+        geom, 4, np.asarray(quats), np.asarray(ts), np.asarray(images),
+        cam, elev_min=405.0, elev_max=425.0,
     )
-    elev = np.asarray(out["elevation"])
-    ortho = np.asarray(out["ortho"])
-    assert np.isfinite(elev).mean() > 0.3
-    covered = np.isfinite(elev)
-    assert abs(np.nanmean(elev) - 414.0) < 5.0
-    assert (ortho[covered] != 255.0).mean() > 0.5
+    layers = dict(create_map_state(geom).layers)
+    out, overflow = sharded_map_step(
+        layers, ring, banded, geom, cam, dsm_cfg, ortho_cfg, mesh,
+        bm_cfg=bm_cfg,
+    )
+    assert int(overflow) == 0
+
+    # single-device composition of the same step
+    ops = prepare_pair_operands(cam.K, Rs, ts, list(images))
+    pts, _intens, valid = process_pairs_batched(
+        ops, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1)
+    single = update_elevation_layer(
+        dict(create_map_state(geom).layers), pts.reshape(-1, 3),
+        valid.reshape(-1), geom, dsm_cfg)
+    single = backward_grid_update(
+        single, quats, ts_j, images, geom, cam, ortho_cfg)
+
+    for key in ("elevation", "ortho", "elevation_angle",
+                "observation_index", "num_observations"):
+        a, b = np.asarray(out[key]), np.asarray(single[key])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=key,
+        )
+    assert np.isfinite(np.asarray(out["elevation"])).mean() > 0.3
+
+    # scale-down evidence: the routed/banded per-device operands are
+    # strictly smaller than the replicated formulation's
+    n_tiles, n_pairs = 4, 2
+    hw = ring.frames.shape[1] * ring.frames.shape[2]
+    n_total = ring.frames.shape[0] * hw
+    cap = min(n_total // 8, int(-(-2.0 * (n_total // 8) // n_tiles)))
+    routed_pts_per_dev = cap * n_tiles * n_pairs
+    assert routed_pts_per_dev < n_total  # vs full-cloud all_gather
+    # ring frames: one image per pair slot vs two
+    assert ring.frames.nbytes + ring.tail.nbytes \
+        < ops.image1.nbytes + ops.image2.nbytes
+    # band cull: every band holds at most the full stack, and at this
+    # geometry strictly fewer images than the stack for some band
+    assert banded.images.shape[1] <= images.shape[0]
+    assert (np.asarray(banded.ids) >= 0).sum() < 4 * images.shape[0]
 
 
 def test_batch_driver_auto_shard_matches_single_device():
