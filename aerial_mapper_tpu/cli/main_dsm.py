@@ -17,6 +17,11 @@ def main(argv=None):
     p.add_argument("--output_layers_npz", default=None)
     p.add_argument("--output_png", default=None,
                    help="Optional false-color elevation PNG.")
+    p.add_argument("--output_color_geotiff", default=None,
+                   help="Optional palette-colored 3-band DEM GeoTiff "
+                        "(writeDataToDEMGeoTiffColor parity).")
+    p.add_argument("--color_palette", default="terrain",
+                   help="Palette for --output_color_geotiff/--output_png.")
     args = common.parse(p, argv)
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
@@ -41,7 +46,18 @@ def main(argv=None):
         from aerial_mapper_tpu.utils.palettes import apply_palette
 
         save_image(args.output_png,
-                   apply_palette(np.asarray(layers["elevation"]), "terrain"))
+                   apply_palette(np.asarray(layers["elevation"]),
+                                 args.color_palette))
+    if args.output_color_geotiff:
+        import numpy as np
+
+        from aerial_mapper_tpu.io.geotiff import write_dem_geotiff_color
+
+        write_dem_geotiff_color(
+            args.output_color_geotiff, np.asarray(layers["elevation"]),
+            west=geom.west, north=geom.north, resolution=geom.resolution,
+            palette=args.color_palette, utm_zone=args.utm_zone,
+        )
 
 
 if __name__ == "__main__":

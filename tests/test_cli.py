@@ -54,13 +54,18 @@ def test_cli_dense_pcl(dataset_dir):
 
 def test_cli_dsm(dataset_dir):
     tif = os.path.join(dataset_dir, "dsm.tif")
+    color_tif = os.path.join(dataset_dir, "dsm_color.tif")
     main_dsm.main(["--data_directory", dataset_dir] + GRID + STEREO
-                  + ["--output_geotiff", tif])
+                  + ["--output_geotiff", tif,
+                     "--output_color_geotiff", color_tif])
     band, _geo, _epsg = read_geotiff(tif)
     assert band.shape == (24, 30)
     covered = np.isfinite(band)
     assert covered.mean() > 0.3
     assert 400 < np.median(band[covered]) < 430
+    # palette DEM export (writeDataToDEMGeoTiffColor parity)
+    rgb, _geo2, epsg2 = read_geotiff(color_tif)
+    assert rgb.shape == (24, 30, 3) and epsg2 == 32632
 
 
 def test_cli_ortho_backward_grid(dataset_dir):

@@ -343,3 +343,139 @@ def test_images_by_prefix_backends_agree(tmp_path, rng):
                                     extension=".png", backend="native")
         for a, b in zip(pil, nat):
             np.testing.assert_array_equal(a, b)
+
+
+def test_geotiff_reads_pil_multistrip(tmp_path):
+    """PIL-written TIFFs (independent writer, multiple strips) must be
+    readable — the reference pipeline consumes GDAL-produced tiles with
+    arbitrary strip layouts (VERDICT r1 #7)."""
+    from PIL import Image, TiffImagePlugin
+
+    rng = np.random.default_rng(3)
+    array = rng.integers(0, 255, size=(57, 43), dtype=np.uint8)
+    path = str(tmp_path / "pil_strips.tif")
+    old = TiffImagePlugin.STRIP_SIZE
+    TiffImagePlugin.STRIP_SIZE = 256  # force many small strips
+    try:
+        Image.fromarray(array).save(path, compression=None)
+    finally:
+        TiffImagePlugin.STRIP_SIZE = old
+    arr, _geo, _epsg = read_geotiff(path)
+    np.testing.assert_array_equal(arr, array)
+
+
+def _write_minimal_tiff(path, array, bo, tiled=False, tile=(16, 16)):
+    """Handcrafted uncompressed TIFF writer for fixtures our own writer
+    never produces: big-endian byte order and tiled layout."""
+    import struct
+
+    h, w = array.shape
+    arr = array.astype(np.dtype(bo + "u1"))
+    entries = {256: (4, (w,)), 257: (4, (h,)), 258: (3, (8,)),
+               259: (3, (1,)), 262: (3, (1,)), 277: (3, (1,)),
+               284: (3, (1,))}
+    if tiled:
+        tl, tw = tile
+        tiles = []
+        for r in range(0, h, tl):
+            for c in range(0, w, tw):
+                block = np.zeros((tl, tw), arr.dtype)
+                blk = arr[r: r + tl, c: c + tw]
+                block[: blk.shape[0], : blk.shape[1]] = blk
+                tiles.append(block.tobytes())
+        entries[322] = (4, (tw,))
+        entries[323] = (4, (tl,))
+        data_blobs = tiles
+        off_tag, cnt_tag = 324, 325
+    else:
+        rows_per = 10
+        strips = [arr[r: r + rows_per].tobytes()
+                  for r in range(0, h, rows_per)]
+        entries[278] = (4, (rows_per,))
+        data_blobs = strips
+        off_tag, cnt_tag = 273, 279
+    entries[cnt_tag] = (4, tuple(len(b) for b in data_blobs))
+    n_off_placeholder = tuple(0 for _ in data_blobs)
+    entries[off_tag] = (4, n_off_placeholder)
+
+    fmt = {3: "H", 4: "I"}
+    size_of = {3: 2, 4: 4}
+    num = len(entries)
+    ifd_off = 8
+    pos = ifd_off + 2 + num * 12 + 4
+    extra_pos = {}
+    for tag_id, (tt, vals) in sorted(entries.items()):
+        if size_of[tt] * len(vals) > 4:
+            extra_pos[tag_id] = pos
+            pos += size_of[tt] * len(vals)
+    data_off = pos + (pos % 2)
+    offs = []
+    p = data_off
+    for b in data_blobs:
+        offs.append(p)
+        p += len(b)
+    entries[off_tag] = (4, tuple(offs))
+
+    out = bytearray()
+    out += struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42,
+                       ifd_off)
+    out += struct.pack(bo + "H", num)
+    for tag_id, (tt, vals) in sorted(entries.items()):
+        if size_of[tt] * len(vals) <= 4:
+            payload = struct.pack(bo + fmt[tt] * len(vals), *vals)
+            payload = payload.ljust(4, b"\x00")
+            out += struct.pack(bo + "HHI", tag_id, tt, len(vals)) + payload
+        else:
+            out += struct.pack(bo + "HHII", tag_id, tt, len(vals),
+                               extra_pos[tag_id])
+    out += struct.pack(bo + "I", 0)
+    for tag_id, (tt, vals) in sorted(entries.items()):
+        if size_of[tt] * len(vals) > 4:
+            out += struct.pack(bo + fmt[tt] * len(vals), *vals)
+    while len(out) < data_off:
+        out += b"\x00"
+    for b in data_blobs:
+        out += b
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_geotiff_reads_bigendian_and_tiled(tmp_path):
+    rng = np.random.default_rng(5)
+    array = rng.integers(0, 255, size=(37, 29), dtype=np.uint8)
+    for name, kwargs in (("be.tif", dict(bo=">", tiled=False)),
+                         ("tiled.tif", dict(bo="<", tiled=True)),
+                         ("be_tiled.tif", dict(bo=">", tiled=True))):
+        path = str(tmp_path / name)
+        _write_minimal_tiff(path, array, **kwargs)
+        arr, _geo, _epsg = read_geotiff(path)
+        np.testing.assert_array_equal(arr, array, err_msg=name)
+        # cross-check the handcrafted fixture itself with PIL
+        from PIL import Image
+
+        np.testing.assert_array_equal(np.asarray(Image.open(path)), array,
+                                      err_msg=f"PIL {name}")
+
+
+def test_dem_geotiff_color(tmp_path):
+    """writeDataToDEMGeoTiffColor parity (aerial-mapper-io.cc:433-509):
+    palette-colored 3-band byte GeoTiff with UTM tags; NaN cells get the
+    fill color."""
+    from aerial_mapper_tpu.io.geotiff import write_dem_geotiff_color
+    from aerial_mapper_tpu.utils.palettes import apply_palette
+
+    elev = np.linspace(400.0, 430.0, 20 * 16).reshape(20, 16)
+    elev[0, 0] = np.nan
+    path = str(tmp_path / "dem_color.tif")
+    rgb = write_dem_geotiff_color(
+        path, elev, west=464500.0, north=5272700.0, resolution=0.5,
+        palette="terrain", utm_zone=32,
+    )
+    arr, (west, north, res), epsg = read_geotiff(path)
+    assert arr.shape == (20, 16, 3) and arr.dtype == np.uint8
+    np.testing.assert_array_equal(arr, rgb)
+    assert (west, north, res) == (464500.0, 5272700.0, 0.5)
+    assert epsg == 32632
+    assert tuple(arr[0, 0]) == (255, 255, 255)  # NaN fill
+    expected = apply_palette(elev, "terrain")
+    np.testing.assert_array_equal(arr[1:], expected[1:])
