@@ -91,3 +91,58 @@ class GoogleMapsClient:
         e = float(e0) + (col - self.width_px / 2.0) * mpp
         n = float(n0) - (row - self.height_px / 2.0) * mpp
         return e, n, zone
+
+
+# -- camera-ray ground intersections (google-maps-api.cc:65-96) -------------
+
+
+def camera_pixel_to_utm(
+    col: float,
+    row: float,
+    camera_northing: float,
+    camera_easting: float,
+    cruise_altitude: float,
+    pixel_direction_pre: np.ndarray,
+) -> Tuple[float, float]:
+    """CAMERA-image pixel -> ground UTM by ray/ground-plane intersection
+    (``GoogleMapsApi::pixelToUtm``, google-maps-api.cc:65-81).
+
+    ``pixel_direction_pre`` is the 3x3 pixel-to-direction matrix (the
+    reference precomposes K^-1 with the camera attitude). Reference
+    conventions reproduced exactly: direction components map to
+    (northing, -easting, down); a ray that does not descend toward the
+    ground (lambda <= 0) returns (0, 0) like cc:76-80.
+    Returns (northing, easting)."""
+    direction = np.asarray(pixel_direction_pre, float) @ np.array(
+        [col, row, 1.0]
+    )
+    if direction[2] == 0.0:
+        raise ValueError("GPS coordinates indeterminant (direction z = 0)")
+    lam = (-cruise_altitude) / direction[2]
+    northing = lam * direction[0] + camera_northing
+    easting = -lam * direction[1] + camera_easting
+    if lam > 0:
+        return northing, easting
+    return 0.0, 0.0
+
+
+def camera_utm_to_pixel(
+    northing: float,
+    easting: float,
+    camera_northing: float,
+    camera_easting: float,
+    cruise_altitude: float,
+    pixel_direction_pre_inverse: np.ndarray,
+) -> Tuple[int, int]:
+    """Ground UTM -> CAMERA-image pixel, the inverse projective map
+    (``GoogleMapsApi::utmToPixel``, google-maps-api.cc:83-96): the
+    homogeneous pre-image of the scaled direction (n - n_cam,
+    e_cam - e, -altitude), truncated to int like the reference."""
+    lambda_d = np.array(
+        [northing - camera_northing, camera_easting - easting,
+         -cruise_altitude]
+    )
+    pixel = np.asarray(pixel_direction_pre_inverse, float) @ lambda_d
+    if pixel[2] == 0.0:
+        raise ValueError("Pixel coordinates indeterminant (w = 0)")
+    return int(pixel[0] / pixel[2]), int(pixel[1] / pixel[2])

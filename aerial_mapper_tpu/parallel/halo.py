@@ -20,6 +20,10 @@ def halo_exchange_rows(local: jax.Array, halo: int, axis_name: str) -> jax.Array
     """[band, W, ...] -> [halo + band + halo, W, ...] with neighbor rows.
 
     Edge devices receive zero padding on the outer side (map boundary).
+    General LAYER-halo utility; the production routed map step uses
+    ``halo_exchange_extended`` below, which overwrites the strips of an
+    already-extended band (needed because edge tiles bin their own
+    out-of-map halo content that must NOT be zeroed).
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)

