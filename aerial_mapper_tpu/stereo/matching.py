@@ -60,12 +60,15 @@ def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
     """Sum over a k x k window (edge-padded), via integral images.
 
     O(1) per pixel independent of k — the reason we can afford block 15.
-    Integer inputs accumulate the integral in int32 (a 15-wide running sum
-    along a 496-row axis overflows int16) and store the windowed sums in
-    int16 — half the HBM traffic of the float path. INVARIANT the caller
-    must guarantee: max|input| * k^2 < 32767 per filtered axis (the BM
-    path enforces it via ``use_integer_costs``); larger window sums
-    silently wrap — pass floats if the bound cannot be proven.
+    Integer inputs run the whole integral in int16: the prefix sums along
+    a full axis overflow int16 freely, but two's-complement arithmetic is
+    exact mod 2^16, so ``upper - lower`` recovers the true window sum
+    whenever THAT fits int16 — which is exactly the caller's INVARIANT:
+    max|input| * k^2 < 32767 per filtered axis (the BM path enforces it
+    via ``use_integer_costs``; larger window sums silently wrap — pass
+    floats if the bound cannot be proven). Bit-identical to an int32
+    integral truncated to int16, at half the integral's HBM traffic
+    (the cumsum read+write is the matcher's dominant cost).
     """
     r = k // 2
     integer = jnp.issubdtype(x.dtype, jnp.integer)
@@ -73,12 +76,10 @@ def _box_filter(x: jax.Array, k: int, axes=(-2, -1)) -> jax.Array:
         pad = [(0, 0)] * x.ndim
         pad[ax] = (r + 1, r)
         xp = jnp.pad(x, pad, mode="edge")
-        cs = jnp.cumsum(xp.astype(jnp.int32) if integer else xp, axis=ax)
+        cs = jnp.cumsum(xp.astype(jnp.int16) if integer else xp, axis=ax)
         upper = jax.lax.slice_in_dim(cs, k, cs.shape[ax], axis=ax % x.ndim)
         lower = jax.lax.slice_in_dim(cs, 0, cs.shape[ax] - k, axis=ax % x.ndim)
-        # int16 is wide enough for every axis' window sums under the
-        # caller's overflow guard; uint8 inputs widen here
-        x = (upper - lower).astype(jnp.int16) if integer else upper - lower
+        x = upper - lower
     return x
 
 
@@ -194,6 +195,18 @@ def _wta_subpixel(cost: jax.Array, min_disp: int):
     """Winner-take-all over D + parabolic sub-pixel refinement.
 
     Returns (disparity [H, W] float, min_cost [H, W], best_idx [H, W] int).
+
+    NOTE (tried, REVERTED — axon backend miscompile): folding this and the
+    uniqueness runner-up into two variadic ``lax.reduce`` traversals
+    ((min, first-argmin) monoid, then (cm, cp, runner) with masked-where
+    producers) is semantically identical — verified bit-equal standalone
+    on BOTH CPU and the axon TPU, including on a real cost volume — but
+    inside the full fused ``block_matching_disparity`` program the axon
+    backend MISCOMPILES it: 13 409/361 k disparities differed from the CPU
+    oracle (valid count 3 953 -> 17 357) while this argmin+masked-sum
+    formulation differs by only 5 contraction-level pixels. The fusion win
+    was ~3.5 ms/step e2e — not worth chasing a backend bug. A/B'd
+    2026-08-20; see docs/PERFORMANCE.md.
     """
     num_disp = cost.shape[0]
     best = jnp.argmin(cost, axis=0)  # [H, W]
