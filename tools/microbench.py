@@ -140,7 +140,7 @@ def case_bm():
 
     cam, ops, jnp = _pair_setup()
     rect1, rect2, mask = _rectified_pair(ops)
-    cfg = BlockMatchingConfig(num_disparities=64)
+    cfg = BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64")))
 
     @jax.jit
     def step(x):
@@ -165,7 +165,7 @@ def case_bm_stages():
 
     cam, ops, jnp = _pair_setup()
     rect1, rect2, mask = _rectified_pair(ops)
-    cfg = BlockMatchingConfig(num_disparities=64)
+    cfg = BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64")))
     h, w = rect1.shape
 
     def prefix(stage):
@@ -216,7 +216,7 @@ def case_bm_cost_stages():
 
     cam, ops, jnp = _pair_setup()
     rect1, rect2, mask = _rectified_pair(ops)
-    cfg = BlockMatchingConfig(num_disparities=64)
+    cfg = BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64")))
 
     def prefix(stage):
         @jax.jit
@@ -269,7 +269,7 @@ def case_stereo_e2e():
     from aerial_mapper_tpu.stereo.batched import process_pairs_batched
 
     cam, ops, jnp = _pair_setup()
-    cfg = BlockMatchingConfig(num_disparities=64)
+    cfg = BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64")))
     chunk = int(os.environ.get("MB_BATCH_CHUNK", "1"))
 
     @jax.jit
@@ -301,7 +301,7 @@ def case_idw():
     ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
     pts, intens, valid = process_pairs_batched(
         ops, cam, matcher="bm",
-        bm_cfg=BlockMatchingConfig(num_disparities=64), batch_chunk=1)
+        bm_cfg=BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64"))), batch_chunk=1)
     p = pts.reshape(-1, 3)
     v = valid.reshape(-1)
     cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
@@ -392,7 +392,7 @@ def case_idw_stages():
     ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
     pts, intens, valid = process_pairs_batched(
         ops, cam, matcher="bm",
-        bm_cfg=BlockMatchingConfig(num_disparities=64), batch_chunk=1)
+        bm_cfg=BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64"))), batch_chunk=1)
     p = pts.reshape(-1, 3)
     v = valid.reshape(-1)
     cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
