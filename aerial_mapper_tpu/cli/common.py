@@ -94,6 +94,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "into this directory (view with TensorBoard / "
                         "xprof). Replaces the reference's VLOG wall-clock "
                         "deltas (SURVEY.md §5 tracing).")
+    p.add_argument("--auto_shard", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Shard map rasters (and the incremental fused "
+                        "step) over all visible devices; --no-auto_shard "
+                        "forces the single-device path.")
     return p
 
 
@@ -216,7 +221,65 @@ def pipeline_config_from_args(args) -> PipelineConfig:
             args, "adaptive_interpolation", False),
     )
     return PipelineConfig(
+        auto_shard=getattr(args, "auto_shard", True),
         grid=grid, stereo=stereo, bm=bm, sgm=sgm, dsm=dsm,
         ortho_backward=ortho_backward, ortho_homography=ortho_homography,
         ortho_from_pcl=ortho_from_pcl,
     )
+
+
+def add_refine_poses_flag(p: argparse.ArgumentParser):
+    p.add_argument("--refine_poses", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="Run feature-track bundle adjustment on the loaded "
+                        "poses before rasterization (the reference assumes "
+                        "pre-optimized PIX4D/COLMAP poses, README.md:5; "
+                        "this closes that loop in-framework).")
+
+
+def maybe_refine_poses(dataset: Dataset, args) -> Dataset:
+    """Apply --refine_poses: BA over feature tracks, returns a dataset with
+    refined body poses (rig extrinsics are identity-composed through
+    camera_poses, so refined camera poses == refined body poses only for
+    an identity rig; the refinement operates on CAMERA poses and converts
+    back through the rig)."""
+    import dataclasses as _dc
+
+    if not getattr(args, "refine_poses", False):
+        return dataset
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aerial_mapper_tpu.config import BundleAdjustmentConfig
+    from aerial_mapper_tpu.features.refine import refine_poses_windowed
+    from aerial_mapper_tpu.io.poses import (
+        _quat_from_matrix_np,
+        _rot_matrix_np,
+    )
+
+    quats_c, trans_c = dataset.camera_poses()
+    images = [jnp.asarray(im, jnp.float32) for im in dataset.images]
+    if images[0].ndim == 3:
+        from aerial_mapper_tpu.image.color import rgb_to_gray
+
+        images = [rgb_to_gray(im) for im in images]
+    q_ref, t_ref, stats = refine_poses_windowed(
+        images, quats_c, trans_c, dataset.rig.camera,
+        ba_cfg=BundleAdjustmentConfig(),
+    )
+    logging.getLogger("aerial_mapper_tpu").info(
+        "refine_poses: %s", stats
+    )
+    # camera poses -> body poses via the rig: T_G_B = T_G_C * T_C_B
+    q_cb = dataset.rig.T_C_B_quats[0]
+    R_cb = _rot_matrix_np(q_cb)
+    t_cb = dataset.rig.T_C_B_trans[0]
+    n = q_ref.shape[0]
+    quats_b = np.zeros((n, 4))
+    trans_b = np.zeros((n, 3))
+    for i in range(n):
+        R_gc = _rot_matrix_np(np.asarray(q_ref[i], np.float64))
+        R_gb = R_gc @ R_cb
+        quats_b[i] = _quat_from_matrix_np(R_gb)
+        trans_b[i] = np.asarray(t_ref[i], np.float64) + R_gc @ t_cb
+    return _dc.replace(dataset, quats_G_B=quats_b, trans_G_B=trans_b)

@@ -22,12 +22,14 @@ def main(argv=None):
                         "(writeDataToDEMGeoTiffColor parity).")
     p.add_argument("--color_palette", default="terrain",
                    help="Palette for --output_color_geotiff/--output_png.")
+    common.add_refine_poses_flag(p)
     args = common.parse(p, argv)
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
     from aerial_mapper_tpu.pipeline.batch import run_dsm
 
     dataset = common.dataset_from_args(args)
+    dataset = common.maybe_refine_poses(dataset, args)
     cfg = common.pipeline_config_from_args(args)
     cloud = None
     if args.point_cloud_filename:

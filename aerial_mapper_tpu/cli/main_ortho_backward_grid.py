@@ -39,12 +39,14 @@ def main(argv=None):
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho.jpg")
     p.add_argument("--output_geotiff", default="/tmp/ortho.tif")
     p.add_argument("--output_layers_npz", default=None)
+    common.add_refine_poses_flag(p)
     args = common.parse(p, _strip_prefix(argv))
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
     from aerial_mapper_tpu.pipeline.batch import run_ortho_backward_grid
 
     dataset = common.dataset_from_args(args)
+    dataset = common.maybe_refine_poses(dataset, args)
     cfg = common.pipeline_config_from_args(args)
     cloud = None
     if args.load_point_cloud_from_file and args.point_cloud_filename:

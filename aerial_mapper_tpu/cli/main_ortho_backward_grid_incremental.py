@@ -24,7 +24,17 @@ def main(argv=None):
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_incr.jpg")
     p.add_argument("--save_updates_to", default="",
                    help="Directory for per-update mosaic snapshots.")
+    p.add_argument("--preview_every_updates", type=int, default=0,
+                   help="Every K map updates, dump a live preview (ortho + "
+                        "elevation PNGs and a resumable layers .npz) into "
+                        "--preview_dir — the framework's replacement for "
+                        "the reference's 0.1 Hz grid_map publish loop "
+                        "(aerial-mapper-grid-map.cc:51-64).")
+    p.add_argument("--preview_dir", default="/tmp/aerial_mapper_preview")
+    p.add_argument("--output_layers_npz", default=None)
     args = common.parse(p, _strip_prefix(argv))
+
+    import os
 
     import numpy as np
 
@@ -34,11 +44,30 @@ def main(argv=None):
     dataset = common.dataset_from_args(args)
     cfg = common.pipeline_config_from_args(args)
 
+    update_count = [0]
+
     def on_update(step, layers, geom):
+        update_count[0] += 1
         if args.save_updates_to:
             save_image(
                 f"{args.save_updates_to}/ortho_{step:06d}.jpg",
                 np.asarray(layers["ortho"]),
+            )
+        if (args.preview_every_updates
+                and update_count[0] % args.preview_every_updates == 0):
+            from aerial_mapper_tpu.io.artifacts import save_layers
+            from aerial_mapper_tpu.utils.palettes import apply_palette
+
+            os.makedirs(args.preview_dir, exist_ok=True)
+            save_image(os.path.join(args.preview_dir, "ortho_live.png"),
+                       np.asarray(layers["ortho"]))
+            save_image(
+                os.path.join(args.preview_dir, "elevation_live.png"),
+                apply_palette(np.asarray(layers["elevation"]), "terrain"),
+            )
+            save_layers(
+                os.path.join(args.preview_dir, "layers_live.npz"),
+                {k: np.asarray(v) for k, v in layers.items()}, geom,
             )
 
     layers, geom = run_incremental(
@@ -46,6 +75,11 @@ def main(argv=None):
         on_update=on_update,
     )
     save_image(args.orthomosaic_jpg_filename, np.asarray(layers["ortho"]))
+    if args.output_layers_npz:
+        from aerial_mapper_tpu.io.artifacts import save_layers
+
+        save_layers(args.output_layers_npz,
+                    {k: np.asarray(v) for k, v in layers.items()}, geom)
 
 
 if __name__ == "__main__":

@@ -184,6 +184,10 @@ class RingPairOperands(NamedTuple):
     reference's previous-frame reuse, stereo.cpp:127-147). Halves the
     stereo image HBM + host transfer of the duplicated-image layout.
     ``tail`` is the right frame of the LAST pair (replicated, one image).
+
+    ``pair_valid`` (optional [B] bool) marks real pair slots; padding
+    slots appended by ``pad_ring_pairs`` carry False and contribute no
+    points (their triangulated output is masked invalid before routing).
     """
 
     frames: jax.Array  # [B, H, W]
@@ -194,6 +198,65 @@ class RingPairOperands(NamedTuple):
     R_G_C_rect: jax.Array  # [B, 3, 3]
     t_G_C1: jax.Array  # [B, 3]
     baseline: jax.Array  # [B]
+    pair_valid: jax.Array | None = None  # [B] bool (None = all real)
+
+
+def pad_ring_pairs(ring: RingPairOperands, multiple: int) -> RingPairOperands:
+    """Pad the pair batch up to a multiple of the device count.
+
+    Padding slots are appended at the END so every real pair keeps its
+    global slot index (the nearest-K rank tie-break stays bit-identical to
+    the unpadded single-device cloud). A padding slot's LEFT frame is the
+    ring ``tail``, so the last REAL pair still receives its true right
+    frame from the next slot over the ring-pass; padding pairs themselves
+    match ``tail`` against ``tail`` and are masked out via ``pair_valid``.
+    """
+    b = ring.frames.shape[0]
+    pad = (-b) % multiple
+    pv = ring.pair_valid
+    if pv is None:
+        pv = jnp.ones((b,), bool)
+    if pad == 0:
+        return ring._replace(pair_valid=pv)
+
+    def pad_tail(x):
+        reps = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    frames = jnp.concatenate(
+        [ring.frames,
+         jnp.broadcast_to(ring.tail[None], (pad,) + ring.tail.shape)],
+        axis=0,
+    )
+    return RingPairOperands(
+        frames=frames, tail=ring.tail,
+        T1_inv=pad_tail(ring.T1_inv), T2_inv=pad_tail(ring.T2_inv),
+        corners_rect=pad_tail(ring.corners_rect),
+        R_G_C_rect=pad_tail(ring.R_G_C_rect),
+        t_G_C1=pad_tail(ring.t_G_C1), baseline=pad_tail(ring.baseline),
+        pair_valid=jnp.concatenate([pv, jnp.zeros((pad,), bool)]),
+    )
+
+
+def pad_map_geometry(geom: MapGeometry, n_tiles: int):
+    """(padded_geom, pad_rows): extend the map SOUTH to a height divisible
+    by ``n_tiles``; crop results with ``layers[k][:geom.height]``.
+
+    North/west edges are preserved, so cell assignment, cell-center
+    arithmetic, and the IDW halo reads for every ORIGINAL row are
+    bit-identical to the unpadded map (padding only appends southern rows
+    whose own results are discarded)."""
+    pad = (-geom.height) % n_tiles
+    if pad == 0:
+        return geom, 0
+    h = geom.height + pad
+    return MapGeometry(
+        center_easting=geom.center_easting,
+        center_northing=geom.north - 0.5 * h * geom.resolution,
+        resolution=geom.resolution,
+        height=h,
+        width=geom.width,
+    ), pad
 
 
 def prepare_ring_pair_operands(K, Rs, ts, images,
@@ -233,6 +296,58 @@ class BandedImages(NamedTuple):
     ids: jax.Array  # [n_tiles, M] int32, -1 = padding
 
 
+def replicated_band_images(quats_G_C, t_G_C, images) -> BandedImages:
+    """Every-band (uncull) operands in the REPLICATED layout: [M, ...]
+    arrays shared by every tile instead of an [n_tiles, M, ...] copy per
+    band. ``sharded_map_step`` broadcasts them (in_spec ``P()``), so the
+    host pays one image transfer, not ``n_tiles``. Use when no elevation
+    slab is known (e.g. the incremental driver, whose DSM update changes
+    the very elevations a cull would have to bound — see the slab
+    obligation note on ``sharded_map_step``)."""
+    m = np.asarray(t_G_C).shape[0]
+    return BandedImages(
+        images=jnp.asarray(images),
+        quats=jnp.asarray(quats_G_C, jnp.float32),
+        ts=jnp.asarray(t_G_C, jnp.float32),
+        ids=jnp.arange(m, dtype=jnp.int32),
+    )
+
+
+def _boundary_ray_dirs(cam: Camera) -> np.ndarray:
+    """[3, B] camera-frame rays through every image-BOUNDARY pixel center
+    plus the half-pixel outer corners, through the lens model.
+
+    For a distorted camera the ground footprint's extremes need not lie at
+    the 4 corners, but the image boundary maps to a closed curve on any
+    ground plane and the interior maps inside it (continuity), so rays
+    through the full boundary ring bound the footprint; per-pixel sampling
+    plus the caller's margin covers sub-pixel curvature between samples.
+    Reference projection semantics under distortion:
+    ortho-backward-grid.cc:66-81 (project3 visibility implies the pixel is
+    inside the image rect)."""
+    w, h = cam.width, cam.height
+    us = np.arange(w, dtype=np.float64) + 0.5
+    vs = np.arange(h, dtype=np.float64) + 0.5
+    ring = np.concatenate([
+        np.stack([us, np.full(w, 0.5)], 1),
+        np.stack([us, np.full(w, h - 0.5)], 1),
+        np.stack([np.full(h, 0.5), vs], 1),
+        np.stack([np.full(h, w - 0.5), vs], 1),
+        np.array([[-0.5, -0.5], [w - 0.5, -0.5], [w - 0.5, h - 0.5],
+                  [-0.5, h - 0.5]]),
+    ])  # [B, 2]
+    xy = np.stack([(ring[:, 0] - cam.cx) / cam.fx,
+                   (ring[:, 1] - cam.cy) / cam.fy], axis=1)
+    if cam.dist_kind != "none":
+        from aerial_mapper_tpu.camera.models import undistort_points
+
+        xy = np.asarray(
+            undistort_points(cam, jnp.asarray(xy, jnp.float32)),
+            np.float64,
+        )
+    return np.concatenate([xy, np.ones((xy.shape[0], 1))], axis=1).T
+
+
 def band_image_operands(
     geom: MapGeometry,
     n_tiles: int,
@@ -240,19 +355,29 @@ def band_image_operands(
     t_G_C,
     images,
     cam: Camera,
-    elev_min: float,
-    elev_max: float,
+    elev_min=None,
+    elev_max=None,
     margin_cells: float = 2.0,
 ) -> BandedImages:
-    """Host-side conservative per-band image cull (pinhole cameras).
+    """Host-side conservative per-band image cull.
 
     An image can texture a cell only if the cell is inside its view
-    frustum; intersecting the frustum's 4 corner rays with the elevation
-    slab [elev_min, elev_max] bounds the footprint's northing range
-    exactly (the frustum slab section is the convex hull of the 8
-    intersection points). Bands whose row range misses it skip the image.
-    Cameras with any non-descending corner ray (horizon in view) or lens
-    distortion fall back to every band (correct, no cull).
+    frustum; intersecting the frustum boundary rays with the elevation
+    slab [elev_min, elev_max] bounds the footprint's northing range (for
+    a pinhole the 4 corner rays are exact — the frustum slab section is
+    the convex hull of the 8 intersection points; for a distorted camera
+    the full boundary ring of rays through the lens model is used, plus
+    ``margin_cells``). Bands whose row range misses it skip the image.
+    Cameras with any non-descending boundary ray (horizon in view) fall
+    back to every band (correct, no cull); so does ``elev_min=None``
+    (no slab known).
+
+    SLAB OBLIGATION: the cull is only exact if every cell elevation the
+    ortho pass reads — including values written by the SAME step's DSM
+    update — lies in [elev_min, elev_max]. ``sharded_map_step`` returns
+    the post-update elevation range in its diagnostics so callers can
+    verify; with no trustworthy slab use ``replicated_band_images`` (or
+    leave elev_min None here).
     """
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
 
@@ -260,23 +385,15 @@ def band_image_operands(
     ts_np = np.asarray(t_G_C, np.float64)
     n = quats_np.shape[0]
     band_h = geom.height // n_tiles
-    Kinv = np.linalg.inv(
-        np.array([[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy],
-                  [0.0, 0.0, 1.0]])
-    )
-    corners = np.array(
-        [[-0.5, -0.5, 1.0], [cam.width - 0.5, -0.5, 1.0],
-         [cam.width - 0.5, cam.height - 0.5, 1.0],
-         [-0.5, cam.height - 0.5, 1.0]]
-    ).T  # [3, 4]
+    dirs_cam = _boundary_ray_dirs(cam)  # [3, B]
     margin = margin_cells * geom.resolution
     members = [[] for _ in range(n_tiles)]
     for i in range(n):
-        every_band = cam.dist_kind != "none"
+        every_band = elev_min is None or elev_max is None
         if not every_band:
             R = _rot_matrix_np(quats_np[i])  # camera-to-world
-            dirs = R @ (Kinv @ corners)  # [3, 4] world rays
-            if np.any(dirs[2] >= -1e-12):  # horizon/ascending corner ray
+            dirs = R @ dirs_cam  # [3, B] world rays
+            if np.any(dirs[2] >= -1e-12):  # horizon/ascending ray
                 every_band = True
             else:
                 ns = []
@@ -345,25 +462,28 @@ def _route_points(pts, valid, rank, geom: MapGeometry, n_tiles: int,
     in_bucket = pos < (starts[:n_tiles] + counts[:n_tiles])[:, None]
     src = sidx[jnp.minimum(pos, n - 1).reshape(-1)]  # [n_tiles*cap]
 
-    # one row gather for everything: xyz + valid + bitcast rank channel
+    # one row gather for the float payload: xyz + valid. The int32 rank
+    # rides a SEPARATE all_to_all: bitcasting it into an f32 channel makes
+    # small ranks denormal bit patterns, and a denormal-flushing copy
+    # anywhere in where/all_to_all would silently corrupt the nearest-K
+    # tie-break (ADVICE r2; CLAUDE.md documents axon fused-program
+    # miscompiles). The extra transfer is 4 bytes/point vs 16.
     packed = jnp.concatenate(
-        [pts.astype(jnp.float32),
-         valid.astype(jnp.float32)[:, None],
-         jax.lax.bitcast_convert_type(
-             rank.astype(jnp.int32), jnp.float32)[:, None]],
+        [pts.astype(jnp.float32), valid.astype(jnp.float32)[:, None]],
         axis=1,
-    )  # [N, 5]
+    )  # [N, 4]
     rows = packed[src]
     okf = in_bucket.reshape(-1)
     rows = jnp.where(okf[:, None], rows, 0.0)
+    ranks = jnp.where(okf, rank.astype(jnp.int32)[src], jnp.int32(2**31 - 1))
     overflow = jnp.sum(jnp.maximum(counts[:n_tiles] - cap, 0))
 
     recv = jax.lax.all_to_all(rows, tiles_axis, 0, 0, tiled=True)
+    r_rank = jax.lax.all_to_all(ranks, tiles_axis, 0, 0, tiled=True)
     r_pts = recv[:, :3]
     r_valid = recv[:, 3] > 0.5
-    r_rank = jax.lax.bitcast_convert_type(recv[:, 4], jnp.int32)
-    # zeroed padding rows bitcast to rank 0 — mask them to the max rank so
-    # they can never displace a real point in the nearest-K tie-break
+    # padding rows carry the max rank so they can never displace a real
+    # point in the nearest-K tie-break
     r_rank = jnp.where(r_valid, r_rank, jnp.int32(2**31 - 1))
     return r_pts, r_valid, r_rank, overflow
 
@@ -457,6 +577,9 @@ def _map_step_body(
         pair_ops, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
         batch_chunk=1,
     )
+    if ops.pair_valid is not None:
+        # padding slots (pad_ring_pairs) contribute no points
+        valid = valid & ops.pair_valid[:, None]
     hw = pts.shape[1]
     pts_f = pts.reshape(-1, 3)
     valid_f = valid.reshape(-1)
@@ -483,15 +606,70 @@ def _map_step_body(
         tiles_axis,
     )
 
-    # 5) tile-sharded backward-grid ortho against the band's CULLED
-    #    image subset (b_imgs/b_quats/b_ts/b_ids are [1, M, ...] locals)
+    # slab diagnostic: global post-update elevation range, so callers can
+    # verify the band cull's [elev_min, elev_max] obligation (see
+    # band_image_operands docstring; ADVICE r2). nanmin/nanmax over the
+    # band then min/max over tiles; all-NaN maps yield +/-inf sentinels.
+    elev = layers["elevation"]
+    elev_lo = jax.lax.pmin(
+        jax.lax.pmin(jnp.nanmin(jnp.where(jnp.isnan(elev), jnp.inf, elev)),
+                     tiles_axis),
+        pairs_axis,
+    )
+    elev_hi = jax.lax.pmax(
+        jax.lax.pmax(jnp.nanmax(jnp.where(jnp.isnan(elev), -jnp.inf, elev)),
+                     tiles_axis),
+        pairs_axis,
+    )
+
+    # 5) tile-sharded backward-grid ortho against the band's image subset:
+    #    CULLED layout ([1, M, ...] per-band locals) or REPLICATED layout
+    #    ([M, ...] shared, replicated_band_images)
+    if b_imgs.ndim == 3:
+        quats_m, ts_m, imgs_m, ids_m = b_quats, b_ts, b_imgs, b_ids
+    else:
+        quats_m, ts_m, imgs_m, ids_m = (
+            b_quats[0], b_ts[0], b_imgs[0], b_ids[0])
     band_h = layers["elevation"].shape[0]
     row0 = jax.lax.axis_index(tiles_axis) * band_h
     layers = backward_grid_update(
-        layers, b_quats[0], b_ts[0], b_imgs[0], geom, cam, ortho_cfg,
-        row_offset=row0.astype(jnp.float32), image_ids=b_ids[0],
+        layers, quats_m, ts_m, imgs_m, geom, cam, ortho_cfg,
+        row_offset=row0.astype(jnp.float32), image_ids=ids_m,
     )
-    return layers, overflow
+    return layers, overflow, elev_lo, elev_hi
+
+
+class StepDiagnostics(NamedTuple):
+    """Validity signals of one ``sharded_map_step``.
+
+    ``overflow``: valid points dropped by the fixed-capacity routing —
+    exactness requires 0. ``elev_min``/``elev_max``: global post-DSM
+    elevation range the ortho pass read (+/-inf on an all-NaN map) — the
+    caller of a slab-culled ``band_image_operands`` must verify it lies
+    inside the [elev_min, elev_max] slab the cull was built with, or the
+    bit-identical-to-single-device invariant is void (ADVICE r2)."""
+
+    overflow: jax.Array  # int32 scalar
+    elev_min: jax.Array  # float32 scalar
+    elev_max: jax.Array  # float32 scalar
+
+    def check(self, slab_min=None, slab_max=None):
+        """Host-side validation (reads back three scalars); raises on
+        routing overflow or slab violation."""
+        overflow = int(self.overflow)
+        if overflow:
+            raise RuntimeError(
+                f"sharded_map_step dropped {overflow} routed points "
+                "(raise route_capacity_factor)"
+            )
+        if slab_min is not None:
+            lo, hi = float(self.elev_min), float(self.elev_max)
+            if lo < slab_min or hi > slab_max:
+                raise RuntimeError(
+                    f"elevation range [{lo:.2f}, {hi:.2f}] escapes the "
+                    f"band-cull slab [{slab_min:.2f}, {slab_max:.2f}]; "
+                    "culled bands may have skipped visible images"
+                )
 
 
 @partial(
@@ -519,7 +697,7 @@ def sharded_map_step(
     route_capacity_factor: float = 2.0,
 ):
     """One fused multi-chip incremental mapping step. Returns
-    ``(layers, overflow)``.
+    ``(layers, StepDiagnostics)``.
 
     Sharding layout (the framework's dp x spatial equivalent of tensor/
     data-parallel layouts): the stereo pair batch is data-parallel over
@@ -529,12 +707,19 @@ def sharded_map_step(
     Points are ROUTED to their owner tile with a fixed-capacity
     all_to_all (capacity = route_capacity_factor * fair share), the
     binned halo strips are exchanged over ICI, and each band textures
-    from its conservatively CULLED image subset — per-device point and
-    image bytes SHRINK with the mesh instead of replicating
-    (VERDICT r1 #2/#5). Bit-identical to the single-device composition
-    whenever ``overflow == 0`` (the caller must check; the routing
-    capacity is a safety factor over a balanced distribution, and
-    overflow > 0 means some points were dropped).
+    from its image subset — either the conservatively CULLED per-band
+    layout (``band_image_operands``, [n_tiles, M, ...]) or the replicated
+    every-band layout (``replicated_band_images``, [M, ...]) — so
+    per-device point and image bytes SHRINK with the mesh instead of
+    replicating (VERDICT r1 #2/#5).
+
+    Bit-identical to the single-device composition whenever
+    ``diag.overflow == 0`` AND (for a slab-culled ``banded``) the
+    post-update elevation range ``[diag.elev_min, diag.elev_max]`` lies
+    inside the slab the cull was built with — ``diag.check(slab_min,
+    slab_max)`` validates both. A pair batch not divisible by the device
+    count must be padded first (``pad_ring_pairs``); a map height not
+    divisible by the tile count, via ``pad_map_geometry``.
     """
     n_pairs = mesh.shape[pairs_axis]
     n_tiles = mesh.shape[tiles_axis]
@@ -542,7 +727,7 @@ def sharded_map_step(
     if b % (n_pairs * n_tiles) != 0:
         raise ValueError(
             f"pair batch {b} not divisible by device count "
-            f"{n_pairs * n_tiles}"
+            f"{n_pairs * n_tiles}; pad with pad_ring_pairs"
         )
     hw = ops.frames.shape[1] * ops.frames.shape[2]
     n_loc = (b // (n_pairs * n_tiles)) * hw
@@ -553,9 +738,13 @@ def sharded_map_step(
     pair_spec = RingPairOperands(
         frames=dp, tail=P(), T1_inv=dp, T2_inv=dp, corners_rect=dp,
         R_G_C_rect=dp, t_G_C1=dp, baseline=dp,
+        pair_valid=None if ops.pair_valid is None else dp,
     )
-    band_spec = BandedImages(images=P(tiles_axis), quats=P(tiles_axis),
-                             ts=P(tiles_axis), ids=P(tiles_axis))
+    if banded.images.ndim == 3:  # replicated every-band layout
+        band_specs = (P(), P(), P(), P())
+    else:
+        band_specs = (P(tiles_axis), P(tiles_axis), P(tiles_axis),
+                      P(tiles_axis))
     fn = jax.shard_map(
         partial(
             _map_step_body, geom=geom, cam=cam, dsm_cfg=dsm_cfg,
@@ -564,13 +753,14 @@ def sharded_map_step(
             cap=cap,
         ),
         mesh=mesh,
-        in_specs=(layer_spec, pair_spec, band_spec.images,
-                  band_spec.quats, band_spec.ts, band_spec.ids),
-        out_specs=(layer_spec, P()),
+        in_specs=(layer_spec, pair_spec) + band_specs,
+        out_specs=(layer_spec, P(), P(), P()),
         check_vma=False,
     )
-    return fn(layers, ops, banded.images, banded.quats, banded.ts,
-              banded.ids)
+    out, overflow, elev_lo, elev_hi = fn(
+        layers, ops, banded.images, banded.quats, banded.ts, banded.ids
+    )
+    return out, StepDiagnostics(overflow, elev_lo, elev_hi)
 
 
 def shard_layers(layers: dict, mesh: Mesh, axis_name: str = "tiles") -> dict:

@@ -1,10 +1,10 @@
-"""Incremental "mapping on the fly" driver.
+"""Incremental "mapping on the fly" driver — single-device or mesh-sharded.
 
 Replays ``main-ortho-backward-grid-incremental.cc:143-166`` (SURVEY.md §3.4):
 stream frames one by one; every n-th frame, run virtual stereo against the
-previous frame, update the DSM from only the new stereo cloud, and
-re-rasterize the backward-grid ortho against only the accumulated new image
-subset. The best-angle layer makes the ortho update idempotent and
+frame kept at the previous update, update the DSM from only the new stereo
+cloud, and re-rasterize the backward-grid ortho against only the accumulated
+new image subset. The best-angle layer makes the ortho update idempotent and
 order-independent (ortho-backward-grid.cc:180-183), which is what makes this
 incremental contract valid — verified by
 tests/test_ortho.py::test_backward_grid_incremental_equals_batch.
@@ -12,6 +12,20 @@ tests/test_ortho.py::test_backward_grid_incremental_equals_batch.
 Unlike the reference, the DSM does not rebuild a kd-tree per update
 (dsm.cc:195 rebuilds from scratch); grid-binned IDW consumes just the new
 points and only touches cells in their windows' footprints.
+
+Multi-device mode (``cfg.auto_shard`` and >1 device): every update is ONE
+fused ``sharded_map_step`` on a (1, n_devices) (pairs, tiles) mesh — the
+pair padded to the device count (``pad_ring_pairs``), the map rasters
+row-band-sharded on a south-padded geometry (``pad_map_geometry``), points
+owner-routed with halo-strip exchange, and the image subset broadcast in
+the replicated every-band layout (no elevation slab is knowable before the
+step's own DSM update, see ``replicated_band_images``). Bit-identical to
+the single-device driver (asserted by tests/test_cli.py).
+
+Both modes share the same per-update computation (batched pair operands ->
+``process_pairs_batched`` -> binned IDW -> backward-grid), so the
+single-device path compiles one program per shape and replays it for the
+whole stream.
 """
 
 from __future__ import annotations
@@ -19,6 +33,7 @@ from __future__ import annotations
 import logging
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,10 +42,41 @@ from aerial_mapper_tpu.dsm.idw import update_elevation_layer
 from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
 from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
 from aerial_mapper_tpu.pipeline.dataset import Dataset
-from aerial_mapper_tpu.stereo.pipeline import VirtualStereo
+from aerial_mapper_tpu.stereo.batched import (
+    prepare_pair_operands,
+    process_pairs_batched,
+)
 from aerial_mapper_tpu.utils.timing import StageTimer
 
 logger = logging.getLogger("aerial_mapper_tpu")
+
+
+def _incremental_mesh(cfg: PipelineConfig):
+    """(pairs=1, tiles=n_devices) mesh, or None on one device/opt-out."""
+    if not cfg.auto_shard:
+        return None
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    from aerial_mapper_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(("pairs", "tiles"), shape=(1, len(devices)),
+                     devices=devices)
+
+
+def _stereo_image(dataset: Dataset, cfg: PipelineConfig, i: int):
+    """Frame i prepared for matching: grayscale + undistorted (the batch
+    driver's preprocessing, pipeline/batch.py _stereo_cloud)."""
+    image = jnp.asarray(dataset.images[i], jnp.float32)
+    if image.ndim == 3:
+        from aerial_mapper_tpu.image.color import rgb_to_gray
+
+        image = rgb_to_gray(image)
+    if cfg.stereo.images_need_undistortion:
+        from aerial_mapper_tpu.camera.undistort import undistort_image
+
+        image = undistort_image(dataset.rig.camera, image)
+    return image
 
 
 def run_incremental(
@@ -46,35 +92,50 @@ def run_incremental(
     (main-ortho-backward-grid-incremental.cc:160).
     """
     geom = MapGeometry.from_config(cfg.grid)
-    layers = dict(create_map_state(geom).layers)
-    engine = VirtualStereo(
-        dataset.rig.camera, cfg.stereo, bm_cfg=cfg.bm, sgm_cfg=cfg.sgm
-    )
-    quats_c, trans_c = dataset.camera_poses()
+    mesh = _incremental_mesh(cfg)
+    if mesh is not None:
+        return _run_incremental_sharded(
+            dataset, cfg, geom, mesh, update_every_nth, on_update
+        )
+
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
+
+    cam = dataset.rig.camera
+    layers = dict(create_map_state(geom).layers)
+    quats_c, trans_c = dataset.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
 
     timer = StageTimer()
     images_subset = []
     quats_subset, trans_subset = [], []
+    prev: Optional[int] = None  # frame index kept at the previous update
     num_updates = 0
 
     for i in range(dataset.num_frames):
-        image = jnp.asarray(dataset.images[i], jnp.float32)
-        images_subset.append(image)
+        images_subset.append(jnp.asarray(dataset.images[i], jnp.float32))
         quats_subset.append(quats_c[i])
         trans_subset.append(trans_c[i])
 
         if (i + 1) % update_every_nth != 0:
             continue
 
-        # stereo against the previous streamed frame (stereo.addFrame chain)
-        result = engine.add_frame(
-            _rot_matrix_np(quats_c[i]), trans_c[i], image
-        )
-        if result is not None:
+        # stereo against the frame kept at the previous update (the
+        # stereo.addFrame previous-frame chain, stereo.cpp:127-147); the
+        # first update has no previous frame and skips the DSM delta
+        if prev is not None:
+            ops = prepare_pair_operands(
+                cam.K, Rs[[prev, i]], trans_c[[prev, i]],
+                [_stereo_image(dataset, cfg, prev),
+                 _stereo_image(dataset, cfg, i)],
+            )
             with timer.stage("incremental_dsm"):
+                pts, _intens, valid = process_pairs_batched(
+                    ops, cam, matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
+                    sgm_cfg=cfg.sgm, batch_chunk=1,
+                )
                 layers = update_elevation_layer(
-                    layers, result.points, result.valid, geom, cfg.dsm
+                    layers, pts.reshape(-1, 3), valid.reshape(-1), geom,
+                    cfg.dsm,
                 )
 
         with timer.stage("incremental_ortho"):
@@ -84,9 +145,10 @@ def run_incremental(
                 jnp.asarray(np.asarray(trans_subset), jnp.float32),
                 jnp.stack(images_subset),
                 geom,
-                dataset.rig.camera,
+                cam,
                 cfg.ortho_backward,
             )
+        prev = i
         num_updates += 1
         if on_update is not None:
             on_update(i, layers, geom)
@@ -97,3 +159,104 @@ def run_incremental(
     logger.info("incremental: %d map updates", num_updates)
     logger.info(timer.report())
     return layers, geom
+
+
+def _run_incremental_sharded(
+    dataset: Dataset,
+    cfg: PipelineConfig,
+    geom: MapGeometry,
+    mesh,
+    update_every_nth: int,
+    on_update: Optional[Callable],
+):
+    """Mesh-sharded incremental driver: one fused ``sharded_map_step`` per
+    update. Overflow is accumulated on device and checked once at the end
+    (a per-update readback would serialize the dispatch stream)."""
+    from aerial_mapper_tpu.io.poses import _rot_matrix_np
+    from aerial_mapper_tpu.parallel.sharded import (
+        pad_map_geometry,
+        pad_ring_pairs,
+        prepare_ring_pair_operands,
+        replicated_band_images,
+        shard_layers,
+        sharded_map_step,
+    )
+
+    cam = dataset.rig.camera
+    n_devices = mesh.devices.size
+    n_tiles = mesh.shape["tiles"]
+    geom_pad, pad_rows = pad_map_geometry(geom, n_tiles)
+    layers = shard_layers(
+        dict(create_map_state(geom_pad).layers), mesh, "tiles"
+    )
+    quats_c, trans_c = dataset.camera_poses()
+    Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
+
+    timer = StageTimer()
+    images_subset = []
+    quats_subset, trans_subset = [], []
+    prev: Optional[int] = None
+    num_updates = 0
+    total_overflow = jnp.zeros((), jnp.int32)
+
+    def crop(ls):
+        if pad_rows == 0:
+            return ls
+        return {k: v[: geom.height] for k, v in ls.items()}
+
+    for i in range(dataset.num_frames):
+        images_subset.append(jnp.asarray(dataset.images[i], jnp.float32))
+        quats_subset.append(quats_c[i])
+        trans_subset.append(trans_c[i])
+
+        if (i + 1) % update_every_nth != 0:
+            continue
+
+        banded = replicated_band_images(
+            np.asarray(quats_subset), np.asarray(trans_subset),
+            jnp.stack(images_subset),
+        )
+        if prev is not None:
+            with timer.stage("incremental_step"):
+                ring = prepare_ring_pair_operands(
+                    cam.K, Rs[[prev, i]], trans_c[[prev, i]],
+                    [_stereo_image(dataset, cfg, prev),
+                     _stereo_image(dataset, cfg, i)],
+                )
+                ring = pad_ring_pairs(ring, n_devices)
+                layers, diag = sharded_map_step(
+                    layers, ring, banded, geom_pad, cam, cfg.dsm,
+                    cfg.ortho_backward, mesh, matcher=cfg.stereo.matcher,
+                    bm_cfg=cfg.bm, sgm_cfg=cfg.sgm,
+                )
+                total_overflow = total_overflow + diag.overflow
+        else:
+            # first update: no stereo pair exists yet; ortho-only update,
+            # exactly the single-device driver's first step
+            from aerial_mapper_tpu.parallel.sharded import (
+                sharded_backward_grid_update,
+            )
+
+            with timer.stage("incremental_step"):
+                layers = sharded_backward_grid_update(
+                    layers, banded.quats, banded.ts, banded.images,
+                    geom_pad, cam, cfg.ortho_backward, mesh,
+                )
+        prev = i
+        num_updates += 1
+        if on_update is not None:
+            on_update(i, crop(layers), geom)
+        images_subset.clear()
+        quats_subset.clear()
+        trans_subset.clear()
+
+    overflow = int(total_overflow)
+    if overflow:
+        raise RuntimeError(
+            f"incremental sharded run dropped {overflow} routed points; "
+            "raise route_capacity_factor"
+        )
+    logger.info("incremental (sharded over %d devices): %d map updates",
+                n_devices, num_updates)
+    logger.info(timer.report())
+    return crop(layers), geom

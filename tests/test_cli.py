@@ -101,6 +101,51 @@ def test_cli_ortho_backward_grid_incremental(dataset_dir):
     assert (img != 255).mean() > 0.2
 
 
+def test_cli_incremental_sharded_matches_single_device(dataset_dir):
+    """VERDICT r2 #2: the incremental CLI on the 8-device virtual mesh
+    (fused sharded_map_step per update, pair + map-height padding built
+    in) is BIT-identical to the forced single-device run. The 26-row map
+    does not divide by 8 tiles, so pad_map_geometry is on the hot path;
+    the 1-pair updates exercise pad_ring_pairs (1 -> 8 slots)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aerial_mapper_tpu.io.artifacts import load_layers
+
+    grid = ["--center_easting", "12", "--center_northing", "0",
+            "--delta_easting", "30", "--delta_northing", "26",
+            "--resolution", "1.0"]
+    common_args = (["--data_directory", dataset_dir] + grid
+                   + ["--dense_pcl_use_every_nth_image", "1",
+                      "--num_disparities", "32", "--update_every_nth", "2"])
+    npz_sharded = os.path.join(dataset_dir, "inc_sharded.npz")
+    npz_single = os.path.join(dataset_dir, "inc_single.npz")
+    preview = os.path.join(dataset_dir, "inc_preview")
+    main_ortho_backward_grid_incremental.main(
+        common_args + ["--output_layers_npz", npz_sharded,
+                       "--preview_every_updates", "2",
+                       "--preview_dir", preview])
+    main_ortho_backward_grid_incremental.main(
+        common_args + ["--no-auto_shard", "--output_layers_npz", npz_single])
+
+    sharded, geom_s = load_layers(npz_sharded)
+    single, geom_1 = load_layers(npz_single)
+    assert geom_s.height == 26 and geom_1.height == 26
+    for key in ("elevation", "ortho", "elevation_angle",
+                "observation_index", "num_observations"):
+        a, b = sharded[key], single[key]
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=key,
+        )
+    assert np.isfinite(sharded["elevation"]).mean() > 0.3
+    # live observability (reference's 0.1 Hz publish analogue): the
+    # periodic preview dump wrote its artifacts during the run
+    for f in ("ortho_live.png", "elevation_live.png", "layers_live.npz"):
+        assert os.path.exists(os.path.join(preview, f)), f
+
+
 def test_cli_ortho_forward_homography(dataset_dir):
     jpg = os.path.join(dataset_dir, "mosaic.jpg")
     main_ortho_forward_homography.main(

@@ -166,14 +166,14 @@ def test_sharded_map_step_bit_identical_and_scaled_down():
     assert ring.frames.shape[0] == 8  # divisible by the 8 devices
     banded = band_image_operands(
         geom, 4, np.asarray(quats), np.asarray(ts), np.asarray(images),
-        cam, elev_min=405.0, elev_max=425.0,
+        cam, elev_min=395.0, elev_max=435.0,
     )
     layers = dict(create_map_state(geom).layers)
-    out, overflow = sharded_map_step(
+    out, diag = sharded_map_step(
         layers, ring, banded, geom, cam, dsm_cfg, ortho_cfg, mesh,
         bm_cfg=bm_cfg,
     )
-    assert int(overflow) == 0
+    diag.check(395.0, 435.0)  # routing overflow + band-cull slab validity
 
     # single-device composition of the same step
     ops = prepare_pair_operands(cam.K, Rs, ts, list(images))
@@ -209,6 +209,147 @@ def test_sharded_map_step_bit_identical_and_scaled_down():
     # geometry strictly fewer images than the stack for some band
     assert banded.images.shape[1] <= images.shape[0]
     assert (np.asarray(banded.ids) >= 0).sum() < 4 * images.shape[0]
+
+
+def test_sharded_map_step_padded_bit_identical():
+    """Awkward shapes through the built-in padding (VERDICT r2 weak #4):
+    7 pairs padded to the 8 devices (pad_ring_pairs) and a 98-row map
+    padded to 100 (pad_map_geometry) must still be BIT-identical to the
+    single-device composition on the ORIGINAL shapes."""
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.dsm import update_elevation_layer
+    from aerial_mapper_tpu.parallel.sharded import (
+        pad_map_geometry,
+        pad_ring_pairs,
+        prepare_ring_pair_operands,
+        replicated_band_images,
+        sharded_map_step,
+    )
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    mesh = make_mesh(("pairs", "tiles"), shape=(2, 4))
+    geom = MapGeometry(center_easting=40.0, center_northing=0.0,
+                       resolution=1.0, height=98, width=48)
+    cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(8, altitude=474.0, spacing=8.0)  # 7 pairs
+    images = jnp.stack(
+        [
+            render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    ortho_cfg = OrthoBackwardGridConfig(cell_chunk=256)
+    bm_cfg = BlockMatchingConfig(num_disparities=32)
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ts_j = jnp.asarray(ts, jnp.float32)
+
+    geom_pad, pad_rows = pad_map_geometry(geom, 4)
+    assert pad_rows == 2 and geom_pad.height == 100
+    assert geom_pad.north == geom.north and geom_pad.west == geom.west
+    ring = pad_ring_pairs(
+        prepare_ring_pair_operands(cam.K, Rs, ts, list(images)), 8
+    )
+    assert ring.frames.shape[0] == 8
+    assert not bool(ring.pair_valid[-1]) and bool(ring.pair_valid[0])
+    banded = replicated_band_images(quats, ts_j, images)
+    layers = dict(create_map_state(geom_pad).layers)
+    out, diag = sharded_map_step(
+        layers, ring, banded, geom_pad, cam, dsm_cfg, ortho_cfg, mesh,
+        bm_cfg=bm_cfg,
+    )
+    diag.check()
+
+    ops = prepare_pair_operands(cam.K, Rs, ts, list(images))
+    pts, _intens, valid = process_pairs_batched(
+        ops, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1)
+    single = update_elevation_layer(
+        dict(create_map_state(geom).layers), pts.reshape(-1, 3),
+        valid.reshape(-1), geom, dsm_cfg)
+    single = backward_grid_update(
+        single, quats, ts_j, images, geom, cam, ortho_cfg)
+
+    for key in ("elevation", "ortho", "elevation_angle",
+                "observation_index", "num_observations"):
+        a = np.asarray(out[key])[: geom.height]  # crop the pad rows
+        b = np.asarray(single[key])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=key,
+        )
+    assert np.isfinite(np.asarray(out["elevation"])[: geom.height]).mean() \
+        > 0.3
+
+
+def test_band_cull_distorted_camera():
+    """VERDICT r2 #5: a radtan camera gets a per-band image subset
+    STRICTLY smaller than the full stack (boundary-ray cull through the
+    lens model instead of the old full-replication fallback), with
+    bit-identical rasters vs the uncull (replicated every-band) run."""
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.parallel.sharded import (
+        band_image_operands,
+        prepare_ring_pair_operands,
+        replicated_band_images,
+        sharded_map_step,
+    )
+
+    mesh = make_mesh(("pairs", "tiles"), shape=(2, 4))
+    geom = MapGeometry(center_easting=40.0, center_northing=0.0,
+                       resolution=1.0, height=192, width=48)
+    cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
+                 height=120, dist_kind="radial-tangential",
+                 dist_params=(-0.28, 0.07, 1e-4, -2e-4))
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(9, altitude=474.0, spacing=8.0)
+    images = jnp.stack(
+        [
+            render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
+    ortho_cfg = OrthoBackwardGridConfig(cell_chunk=256)
+    bm_cfg = BlockMatchingConfig(num_disparities=32)
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ts_j = jnp.asarray(ts, jnp.float32)
+    ring = prepare_ring_pair_operands(cam.K, Rs, ts, list(images))
+
+    banded = band_image_operands(
+        geom, 4, np.asarray(quats), np.asarray(ts), np.asarray(images),
+        cam, elev_min=395.0, elev_max=435.0,
+    )
+    # the cull has bite under distortion: band membership is strictly
+    # below full replication, with whole bands skipping the stack
+    ids = np.asarray(banded.ids)
+    assert (ids >= 0).sum() < 4 * images.shape[0]
+    assert min((ids[t] >= 0).sum() for t in range(4)) < images.shape[0]
+
+    layers = dict(create_map_state(geom).layers)
+    out_c, diag_c = sharded_map_step(
+        layers, ring, banded, geom, cam, dsm_cfg, ortho_cfg, mesh,
+        bm_cfg=bm_cfg,
+    )
+    diag_c.check(395.0, 435.0)
+    out_r, diag_r = sharded_map_step(
+        layers, ring, replicated_band_images(quats, ts_j, images), geom,
+        cam, dsm_cfg, ortho_cfg, mesh, bm_cfg=bm_cfg,
+    )
+    diag_r.check()
+    for key in ("elevation", "ortho", "elevation_angle",
+                "observation_index", "num_observations"):
+        a, b = np.asarray(out_c[key]), np.asarray(out_r[key])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=key,
+        )
+    assert (np.asarray(out_c["ortho"]) != 255.0).mean() > 0.1
 
 
 def test_batch_driver_auto_shard_matches_single_device():
