@@ -185,14 +185,17 @@ class OrthoFromPclConfig:
     """Ortho-from-points settings (reference: ortho::Settings, ortho-from-pcl.h:28-35).
 
     Same squared-distance-unit quirk as DsmConfig; adaptive growth multiplies
-    the radius by 10 per step (ortho-from-pcl.cc:63-71) and is uncapped in the
-    reference — we cap it at ``max_radius_sq`` to stay bounded.
+    the radius by 10 per step (ortho-from-pcl.cc:63-71) and is UNCAPPED in
+    the reference. ``max_radius_sq=None`` (default) reproduces that: the
+    windowed kernel handles the near field and an exact global brute-force
+    pass fills any remaining sparse cells (dsm/idw.py idw_unbounded_brute).
+    Set a float to cap the growth instead (bounded cost on huge maps).
     """
 
     interpolation_radius_sq: float = 2.0
     use_adaptive_interpolation: bool = False
     adaptive_growth_factor: float = 10.0
-    max_radius_sq: float = 1e4
+    max_radius_sq: Optional[float] = None
     bin_capacity: int = 8
 
 

@@ -518,6 +518,82 @@ def update_elevation_layer(
     return new
 
 
+@partial(
+    jax.jit,
+    static_argnames=("geom", "radius_sq", "growth", "cell_chunk"),
+)
+def idw_unbounded_brute(
+    points_xy: jax.Array,
+    payload: jax.Array,
+    valid: jax.Array,
+    geom: MapGeometry,
+    radius_sq: float,
+    growth: float,
+    cell_chunk: int = 2048,
+):
+    """UNBOUNDED adaptive IDW by brute force over every point.
+
+    Reproduces the reference's cap-free growth loop — the kd-tree holds
+    ALL points and the radius multiplies by ``growth`` until a neighbor
+    appears, with no upper bound (ortho-from-pcl.cc:63-71) — by computing
+    each cell's global nearest squared distance directly, taking the
+    closed-form ladder rung, and accumulating the 1/d^2 sums over the full
+    [cell_chunk, N] distance tile. O(cells x points): this is the
+    sparse-cloud fallback behind ``ortho_from_points`` (dense clouds never
+    reach it), not a bulk path. A cloud with zero valid points returns
+    hit=False everywhere (the reference would spin forever there,
+    ortho-from-pcl.cc:64-70).
+    """
+    from aerial_mapper_tpu.mapgrid.grid import cell_centers
+
+    ce, cn = cell_centers(geom)
+    q = jnp.stack([ce.ravel(), cn.ravel()], axis=1)  # [M, 2]
+    m = q.shape[0]
+    npad = -(-m // cell_chunk) * cell_chunk
+    qp = jnp.pad(q, ((0, npad - m), (0, 0)))
+    # invalid points at +inf: their d^2 is +inf, outside every radius
+    px = jnp.where(valid, points_xy[:, 0].astype(jnp.float32), jnp.inf)
+    py = jnp.where(valid, points_xy[:, 1].astype(jnp.float32), jnp.inf)
+    pl = payload.astype(jnp.float32)
+
+    def chunk_fn(qc):  # [C, 2] -> (values [C], hit [C])
+        dx = qc[:, :1] - px[None, :]
+        dy = qc[:, 1:2] - py[None, :]
+        d2 = dx * dx + dy * dy  # [C, N]
+        d2min = jnp.min(d2, axis=1)
+        # closed-form cap-free ladder (same arithmetic as binned_idw)
+        ratio = jnp.maximum(d2min / radius_sq, 1e-30)
+        kk = jnp.ceil(jnp.log(ratio) / math.log(growth))
+        kk = jnp.where(
+            radius_sq * jnp.power(growth, kk) <= d2min, kk + 1.0, kk
+        )
+        kk = jnp.maximum(kk, 0.0)
+        r_eff = radius_sq * jnp.power(growth, kk)
+        r_eff = jnp.where(d2min < radius_sq, radius_sq, r_eff)
+        in_r = d2 < r_eff[:, None]
+        is_exact = in_r & (d2 <= _EXACT_EPS)
+        wgt = jnp.where(
+            in_r & ~is_exact, 1.0 / jnp.maximum(d2, _EXACT_EPS), 0.0
+        )
+        num = jnp.sum(wgt * pl[None, :], axis=1)
+        den = jnp.sum(wgt, axis=1)
+        any_exact = jnp.any(is_exact, axis=1)
+        exact_val = pl[jnp.argmax(is_exact, axis=1)]
+        hit = (den > 0.0) | any_exact
+        vals = jnp.where(
+            any_exact, exact_val, num / jnp.where(den > 0.0, den, 1.0)
+        )
+        return vals, hit
+
+    vals, hit = jax.lax.map(
+        chunk_fn, qp.reshape(-1, cell_chunk, 2)
+    )
+    return (
+        vals.reshape(-1)[:m].reshape(ce.shape),
+        hit.reshape(-1)[:m].reshape(ce.shape),
+    )
+
+
 def ortho_from_points(
     map_layers: dict,
     points_xyz: jax.Array,
@@ -530,15 +606,41 @@ def ortho_from_points(
 
     Mirrors ``ortho::OrthoFromPcl::process`` (ortho-from-pcl.cc:20-107) —
     same kd-tree/IDW machinery as the DSM but with intensity payload.
+
+    ``cfg.max_radius_sq=None`` reproduces the reference's UNBOUNDED
+    adaptive growth (ortho-from-pcl.cc:63-71): the windowed kernel runs
+    with a working cap first (bit-identical for every cell it fills —
+    ladder rungs below the cap are cap-independent), then the sparse
+    remainder is completed by the exact global brute-force pass. On dense
+    clouds the fallback never dispatches (one host-side all-hit check).
     """
+    adaptive = cfg.use_adaptive_interpolation
+    unbounded = cfg.max_radius_sq is None and adaptive
+    if unbounded:
+        # working cap: a ~12-cell window keeps the fast path fast; snapped
+        # up to at least one growth rung above the base radius
+        cap = max(cfg.interpolation_radius_sq * cfg.adaptive_growth_factor,
+                  (12.0 * geom.resolution) ** 2)
+    elif cfg.max_radius_sq is None:
+        cap = cfg.interpolation_radius_sq  # fixed radius, no growth
+    else:
+        cap = cfg.max_radius_sq
     values, hit = idw_to_grid(
         points_xyz[:, :2], intensities.astype(jnp.float32), valid, geom,
         cfg.bin_capacity,
         radius_sq=cfg.interpolation_radius_sq,
-        adaptive=cfg.use_adaptive_interpolation,
+        adaptive=adaptive,
         growth=cfg.adaptive_growth_factor,
-        max_radius_sq=cfg.max_radius_sq,
+        max_radius_sq=cap,
     )
+    if unbounded and not bool(hit.all()):
+        far_vals, far_hit = idw_unbounded_brute(
+            points_xyz[:, :2], intensities, valid, geom,
+            radius_sq=cfg.interpolation_radius_sq,
+            growth=cfg.adaptive_growth_factor,
+        )
+        values = jnp.where(hit, values, far_vals)
+        hit = hit | far_hit
     new = dict(map_layers)
     new["ortho"] = jnp.where(hit, values, map_layers["ortho"])
     return new

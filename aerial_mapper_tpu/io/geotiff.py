@@ -259,7 +259,17 @@ def read_geotiff(
         for off, cnt in zip(offsets, counts):
             n_el = cnt // bpp
             rows.append(np.frombuffer(buf, dtype, count=n_el, offset=off))
-        arr = np.concatenate(rows).reshape(h, w, samples)
+        flat = np.concatenate(rows)
+        # Writers in the wild pad the FINAL strip to full RowsPerStrip
+        # (the spec says truncate, but padded files exist — ADVICE r2);
+        # crop to the image size like the tiled path's out[:h, :w], and
+        # only reject files that are genuinely short.
+        need = h * w * samples
+        if flat.size < need:
+            raise ValueError(
+                f"TIFF strip data short: {flat.size} elements < {need}"
+            )
+        arr = flat[:need].reshape(h, w, samples)
         del rows_per_strip
     arr = arr[..., 0] if samples == 1 else arr
     if bo == ">":

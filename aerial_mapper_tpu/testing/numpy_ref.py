@@ -37,12 +37,15 @@ def idw_reference(
         d2 = np.sum((points_xy - cell_centers_xy[ci]) ** 2, axis=1)
         r = radius_sq
         idx = np.nonzero(d2 < r)[0]
-        if adaptive and idx.size == 0:
+        if adaptive and idx.size == 0 and points_xy.shape[0] > 0:
+            # max_radius_sq=None: the reference's UNBOUNDED growth loop
+            # (ortho-from-pcl.cc:63-71 has no cap)
             lam = 1.0
             while idx.size == 0:
                 idx = np.nonzero(d2 < lam * radius_sq)[0]
                 lam *= growth
-                if lam * radius_sq > max_radius_sq:
+                if max_radius_sq is not None \
+                        and lam * radius_sq > max_radius_sq:
                     break
         if idx.size == 0:
             continue

@@ -260,11 +260,13 @@ def worker_incremental(k: int):
     dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
     images = images.astype(jnp.float32)
     # one representative update: the latest subsampled pair + the 7-frame
-    # image subset accumulated since the previous update
-    sub = slice(7 * 17, 7 * 18 + 1, 7)  # frames 119, 126
+    # image subset accumulated since the previous update (group 17 at the
+    # full 249-image scale, clamped for reduced BENCH_NUM_IMAGES configs)
+    base = 7 * max(min(17, (NUM_IMAGES - 1) // 7 - 1), 0)
+    sub = slice(base, base + 8, 7)  # e.g. frames 119, 126
     ops = prepare_pair_operands(
         cam.K, Rs[sub], ts[sub], images[sub], use_every_nth=1)
-    subset = slice(7 * 17, 7 * 18)  # the 7 newly accumulated frames
+    subset = slice(base, base + 7)  # the 7 newly accumulated frames
     img_sub = images[subset]
     quats_sub = quats[subset]
     ts_sub = ts_j[subset]
@@ -685,8 +687,9 @@ def main():
         res5 = spawn_dl("e2e:5", floor=180.0)
         if res5 is not None:
             t_e2e = max((res5[0] - e1) / 4.0, 1e-9)
-            log(f"end-to-end (stereo 36 pairs @ {NUM_DISP} disp + DSM + "
-                f"ortho): {t_e2e:.2f} s -> {NUM_IMAGES / t_e2e:.1f} "
+            n_pairs = -(-NUM_IMAGES // 7) - 1
+            log(f"end-to-end (stereo {n_pairs} pairs @ {NUM_DISP} disp + "
+                f"DSM + ortho): {t_e2e:.2f} s -> {NUM_IMAGES / t_e2e:.1f} "
                 f"frames/s; TPU DSM coverage {cov_tpu:.2f}")
     res = spawn_dl("e2e_cpu", floor=240.0)
     if res is not None:

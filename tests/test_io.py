@@ -364,9 +364,12 @@ def test_geotiff_reads_pil_multistrip(tmp_path):
     np.testing.assert_array_equal(arr, array)
 
 
-def _write_minimal_tiff(path, array, bo, tiled=False, tile=(16, 16)):
+def _write_minimal_tiff(path, array, bo, tiled=False, tile=(16, 16),
+                        pad_last_strip=False):
     """Handcrafted uncompressed TIFF writer for fixtures our own writer
-    never produces: big-endian byte order and tiled layout."""
+    never produces: big-endian byte order, tiled layout, and (spec-
+    violating but seen in the wild) a final strip padded to full
+    RowsPerStrip."""
     import struct
 
     h, w = array.shape
@@ -391,6 +394,8 @@ def _write_minimal_tiff(path, array, bo, tiled=False, tile=(16, 16)):
         rows_per = 10
         strips = [arr[r: r + rows_per].tobytes()
                   for r in range(0, h, rows_per)]
+        if pad_last_strip:
+            strips[-1] = strips[-1].ljust(rows_per * w, b"\x7f")
         entries[278] = (4, (rows_per,))
         data_blobs = strips
         off_tag, cnt_tag = 273, 279
@@ -438,6 +443,18 @@ def _write_minimal_tiff(path, array, bo, tiled=False, tile=(16, 16)):
         out += b
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+def test_geotiff_reads_padded_final_strip(tmp_path):
+    """ADVICE r2: a writer that pads the last strip to full RowsPerStrip
+    (spec says truncate; padded files exist in the wild) must read back
+    exactly — the reader crops the strip buffer like the tiled path."""
+    rng = np.random.default_rng(11)
+    array = rng.integers(0, 255, size=(37, 29), dtype=np.uint8)  # 37 % 10
+    path = str(tmp_path / "padded.tif")
+    _write_minimal_tiff(path, array, "<", pad_last_strip=True)
+    arr, _geo, _epsg = read_geotiff(path)
+    np.testing.assert_array_equal(arr, array)
 
 
 def test_geotiff_reads_bigendian_and_tiled(tmp_path):

@@ -343,6 +343,55 @@ def test_ortho_from_points_parity(rng):
                                atol=5e-2)
 
 
+def test_ortho_from_points_unbounded_growth_parity(rng):
+    """VERDICT r2 #6: ``max_radius_sq=None`` reproduces the reference's
+    UNBOUNDED adaptive growth (ortho-from-pcl.cc:63-71) — on a sparse
+    cloud the capped run leaves cells empty that the unbounded run fills,
+    and the unbounded values match the numpy loop oracle exactly."""
+    import dataclasses
+
+    n = 12  # sparse: most of the 64x48 map is far from every point
+    pts = np.stack(
+        [
+            rng.uniform(GEOM.west, GEOM.west + 12, n),
+            rng.uniform(GEOM.north - 10, GEOM.north, n),
+            np.full(n, 414.0),
+        ],
+        axis=1,
+    )
+    intens = rng.uniform(0, 255, n)
+    layers = dict(create_map_state(GEOM).layers)
+    cfg = OrthoFromPclConfig(
+        interpolation_radius_sq=2.0, use_adaptive_interpolation=True,
+        adaptive_growth_factor=10.0, max_radius_sq=None, bin_capacity=32,
+    )
+    out = ortho_from_points(
+        layers, jnp.asarray(pts, jnp.float32), jnp.asarray(intens, jnp.float32),
+        jnp.ones(n, bool), GEOM, cfg,
+    )
+    got = np.asarray(out["ortho"]).ravel()
+
+    capped = ortho_from_points(
+        layers, jnp.asarray(pts, jnp.float32), jnp.asarray(intens, jnp.float32),
+        jnp.ones(n, bool), GEOM,
+        dataclasses.replace(cfg, max_radius_sq=25.0),
+    )
+    got_capped = np.asarray(capped["ortho"]).ravel()
+
+    ce, cn = cell_centers(GEOM)
+    centers = np.stack([np.asarray(ce).ravel(), np.asarray(cn).ravel()], 1)
+    ref_vals, ref_hit = idw_reference(
+        pts[:, :2], intens, centers, radius_sq=2.0, adaptive=True,
+        growth=10.0, max_radius_sq=None,
+    )
+    # the reference's unbounded loop fills EVERY cell of a non-empty cloud
+    assert ref_hit.all()
+    assert (got != 255.0).all()
+    # and the capped run demonstrably differs (cells left at the 255 init)
+    assert (got_capped == 255.0).sum() > 100
+    np.testing.assert_allclose(got, ref_vals, rtol=2e-4, atol=5e-2)
+
+
 def test_backward_grid_colored_ortho():
     from aerial_mapper_tpu.image.color import unpack_float_to_rgb
 

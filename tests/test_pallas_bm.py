@@ -47,6 +47,36 @@ def test_pallas_bm_matches_xla_matcher():
     assert agree.mean() > 0.85
 
 
+def test_pallas_bm_integer_costs_guard_parity():
+    """VERDICT r2 #4: both matchers consult the SAME use_integer_costs
+    guard (stereo/matching.py), so their input quantization agrees for a
+    config inside the int16 envelope AND for one that overflows it (both
+    fall back to float costs together)."""
+    from aerial_mapper_tpu.stereo.matching import use_integer_costs
+
+    rect = rendered_rect_pair()
+    cfg_int = BlockMatchingConfig(num_disparities=32)  # guard True
+    cfg_float = BlockMatchingConfig(num_disparities=32, block_size=27)
+    assert use_integer_costs(cfg_int)
+    assert not use_integer_costs(cfg_float)  # 2*31*27^2 > 32767
+    for cfg in (cfg_int, cfg_float):
+        d_ref = np.asarray(
+            block_matching_disparity(rect.image_left, rect.image_right,
+                                     rect.mask, cfg)
+        )
+        d_pal = np.asarray(
+            block_matching_disparity_pallas(
+                rect.image_left, rect.image_right, rect.mask, cfg,
+                tile_h=48, interpret=True,
+            )
+        )
+        v = (d_ref > 1.0) & (d_pal > 1.0)
+        assert v.mean() > 0.2, f"block={cfg.block_size}"
+        err = np.abs(d_ref[v] - d_pal[v])
+        assert np.median(err) < 0.01, \
+            f"block={cfg.block_size} median {np.median(err)}"
+
+
 def test_pallas_bm_height_not_multiple_of_tile():
     rect = rendered_rect_pair()
     cfg = BlockMatchingConfig(num_disparities=32)

@@ -391,6 +391,28 @@ def test_speckle_cc_serpentine_worst_case():
     assert not keep.any()
 
 
+def test_speckle_cc_serpentine_production_scale():
+    """ADVICE r2: the ceil(log2(H*W))+4 iteration bound is validated
+    empirically at PRODUCTION scale (752x480) on the width-1 serpentine
+    worst case, with ``max_size = region_size - 1`` so survival requires
+    the EXACT region count — any non-converged labeling (>= 2 roots)
+    undercounts some root's region and kills pixels, failing the test."""
+    from aerial_mapper_tpu.stereo.matching import _speckle_mask_cc
+
+    h, w = 480, 752
+    m = np.zeros((h, w), bool)
+    for k, r in enumerate(range(0, h, 2)):
+        m[r, :] = True
+        if r + 1 < h:
+            m[r + 1, w - 1 if k % 2 == 0 else 0] = True
+    size = int(m.sum())  # ~181k px, geodesic diameter ~ area
+    disp = jnp.full((h, w), 10.0)
+    keep = np.asarray(
+        _speckle_mask_cc(disp, jnp.asarray(m), size - 1, 1.0)
+    )
+    np.testing.assert_array_equal(keep, m)
+
+
 def test_block_matching_cc_speckle_mode():
     """End-to-end BM with the cv-parity CC speckle filter: quality holds
     and the surviving set differs only in small islands vs windowed."""

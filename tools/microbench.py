@@ -243,6 +243,32 @@ def case_bm_cost_stages():
         prev = ms
 
 
+def case_speckle():
+    """VERDICT r2 #7: measured cost of the reference-parity connected-
+    component speckle filter vs the windowed approximation at production
+    scale (752x480), so the documented quality/speed tradeoff
+    (stereo/matching.py _speckle_mask_cc) has a real TPU number."""
+    import jax
+
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.stereo.matching import block_matching_disparity
+
+    cam, ops, jnp = _pair_setup()
+    rect1, rect2, mask = _rectified_pair(ops)
+    nd = int(os.environ.get("MB_NUM_DISP", "64"))
+    for mode in ("windowed", "cc"):
+        cfg = BlockMatchingConfig(num_disparities=nd, speckle_mode=mode)
+
+        @jax.jit
+        def step(x, cfg=cfg):
+            d = block_matching_disparity(rect1 + x * 1e-30, rect2, mask,
+                                         cfg)
+            return jnp.sum(d) * 1e-9
+
+        ms = slope_ms(step, jnp.float32(0.0), float)
+        print(f"bm speckle_mode={mode} (752x480x{nd}): {ms:.2f} ms/pair")
+
+
 def case_sgm():
     import jax
 
@@ -438,6 +464,7 @@ CASES = {
     "bm_stages": case_bm_stages,
     "bm_cost_stages": case_bm_cost_stages,
     "sgm": case_sgm,
+    "speckle": case_speckle,
     "idw": case_idw,
     "idw_stages": case_idw_stages,
     "homog": case_homog,
