@@ -142,6 +142,45 @@ def _ortho_band_update(band_layers, quats, ts, images, geom, cam, cfg,
     )
 
 
+def _ortho_band_update_banded(band_layers, b_imgs, b_quats, b_ts, b_ids,
+                              geom, cam, cfg, axis_name):
+    band_h = band_layers["elevation_angle"].shape[0]
+    row0 = jax.lax.axis_index(axis_name) * band_h
+    return backward_grid_update(
+        band_layers, b_quats[0], b_ts[0], b_imgs[0], geom, cam, cfg,
+        row_offset=row0.astype(jnp.float32), image_ids=b_ids[0],
+    )
+
+
+@partial(jax.jit, static_argnames=("geom", "cam", "cfg", "mesh", "axis_name"))
+def sharded_backward_grid_update_banded(
+    layers: dict,
+    banded: BandedImages,
+    geom: MapGeometry,
+    cam: Camera,
+    cfg: OrthoBackwardGridConfig,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+) -> dict:
+    """Row-band-sharded backward-grid ortho with per-band CULLED image
+    subsets: each device holds only its band's images
+    (``band_image_operands``) instead of the full replicated stack — the
+    batch driver's scale-out path. The caller owns the cull slab's
+    validity; the batch driver derives it from the ACTUAL post-DSM
+    elevation range, so it is exact by construction."""
+    layer_spec = {k: P(axis_name, None) for k in layers}
+    fn = jax.shard_map(
+        partial(_ortho_band_update_banded, geom=geom, cam=cam, cfg=cfg,
+                axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(layer_spec, P(axis_name), P(axis_name), P(axis_name),
+                  P(axis_name)),
+        out_specs=layer_spec,
+        check_vma=False,
+    )
+    return fn(layers, banded.images, banded.quats, banded.ts, banded.ids)
+
+
 @partial(jax.jit, static_argnames=("geom", "cam", "cfg", "mesh", "axis_name"))
 def sharded_backward_grid_update(
     layers: dict,

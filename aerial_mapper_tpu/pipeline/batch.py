@@ -215,19 +215,40 @@ def run_ortho_backward_grid(
     ):
         if mesh is not None:
             from aerial_mapper_tpu.parallel.sharded import (
+                band_image_operands,
                 shard_layers,
-                sharded_backward_grid_update,
+                sharded_backward_grid_update_banded,
             )
 
-            layers = shard_layers(layers, mesh, "tiles")
-            layers = sharded_backward_grid_update(
-                layers,
-                jnp.asarray(quats_c, jnp.float32),
-                jnp.asarray(trans_c, jnp.float32),
-                images, geom, dataset.rig.camera, cfg.ortho_backward, mesh,
+            # exact cull slab from the ACTUAL post-DSM elevation range
+            # (one host readback; the DSM stage above already materialized
+            # the layer), so per-band image subsets are provably
+            # conservative — no slab assumption to violate
+            elev_np = np.asarray(layers["elevation"])
+            finite = np.isfinite(elev_np)
+            if cfg.ortho_backward.use_digital_elevation_map and finite.any():
+                elev_lo = float(elev_np[finite].min()) - 1e-3
+                elev_hi = float(elev_np[finite].max()) + 1e-3
+            else:
+                e0 = cfg.ortho_backward.orthomosaic_elevation_m
+                elev_lo, elev_hi = e0 - 1e-3, e0 + 1e-3
+            n_tiles = mesh.shape["tiles"]
+            banded = band_image_operands(
+                geom, n_tiles, np.asarray(quats_c), np.asarray(trans_c),
+                images, dataset.rig.camera, elev_min=elev_lo,
+                elev_max=elev_hi,
             )
-            logger.info("ortho: row-band sharded over %d devices",
-                        mesh.shape["tiles"])
+            layers = shard_layers(layers, mesh, "tiles")
+            layers = sharded_backward_grid_update_banded(
+                layers, banded, geom, dataset.rig.camera,
+                cfg.ortho_backward, mesh,
+            )
+            kept = int((np.asarray(banded.ids) >= 0).sum())
+            logger.info(
+                "ortho: row-band sharded over %d devices; band cull kept "
+                "%d/%d image slots (slab [%.1f, %.1f])",
+                n_tiles, kept, n_tiles * images.shape[0], elev_lo, elev_hi,
+            )
         else:
             layers = backward_grid_update(
                 layers,
