@@ -802,6 +802,89 @@ def sharded_map_step(
     return out, StepDiagnostics(overflow, elev_lo, elev_hi)
 
 
+def _homography_shard_body(images, quats, ts, valid, cam, cfg,
+                           needs_undistortion, axis_name):
+    from aerial_mapper_tpu.camera.undistort import undistort_image
+    from aerial_mapper_tpu.ortho.homography import (
+        _accumulate_fn,
+        create_mosaic_state,
+    )
+
+    accumulate = _accumulate_fn(cam, cfg)
+    state0 = create_mosaic_state(cfg)
+
+    def body(carry, inp):
+        image, quat, t, ok = inp
+        if needs_undistortion and cam.dist_kind != "none":
+            image = undistort_image(cam, image)
+        nxt = accumulate(carry, image, quat, t, cam, cfg)
+        # padding slots contribute nothing (feather weights are nonzero
+        # even for a black image, so masking the OUTPUT is required)
+        nxt = jax.tree.map(
+            lambda a, b: jnp.where(ok > 0.5, a, b), nxt, carry
+        )
+        return nxt, None
+
+    state, _ = jax.lax.scan(body, state0, (images, quats, ts, valid))
+    num = jax.lax.psum(state.weighted_sum, axis_name)
+    den = jax.lax.psum(state.weight_sum, axis_name)
+    out = num / jnp.maximum(den, 1e-12)
+    return jnp.where(den > 1e-12, out, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "cfg", "mesh", "needs_undistortion",
+                     "axis_name"),
+)
+def sharded_homography_mosaic_batch(
+    images: jax.Array,  # [N, H, W]
+    quats_G_C: jax.Array,  # [N, 4]
+    t_G_C: jax.Array,  # [N, 3]
+    cam: Camera,
+    cfg,
+    mesh: Mesh,
+    needs_undistortion: bool = True,
+    axis_name: str = "tiles",
+):
+    """Image-sharded forward-homography feather mosaic.
+
+    The feather blend is a weighted SUM over images
+    (ortho-forward-homography.cc:197-202 via cv::detail::FeatherBlender),
+    so it is commutative: each device scans its image shard into local
+    (weighted_sum, weight_sum) accumulators and two ``psum``s complete the
+    blend. Equal to the single-device ``homography_mosaic_batch`` up to
+    float summation order (allclose, not bit-identical — asserted by
+    tests/test_parallel.py). The batch is padded to the device count with
+    masked slots.
+    """
+    n = images.shape[0]
+    n_dev = mesh.shape[axis_name]
+    pad = (-n) % n_dev
+    valid = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    if pad:
+        def pad_tail(x):
+            reps = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+            return jnp.concatenate([x, reps], axis=0)
+
+        images = pad_tail(images)
+        quats_G_C = pad_tail(quats_G_C)
+        t_G_C = pad_tail(t_G_C)
+    fn = jax.shard_map(
+        partial(
+            _homography_shard_body, cam=cam, cfg=cfg,
+            needs_undistortion=needs_undistortion, axis_name=axis_name,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(images, quats_G_C, t_G_C, valid)
+
+
 def shard_layers(layers: dict, mesh: Mesh, axis_name: str = "tiles") -> dict:
     """Place a layer dict with row-band sharding on the mesh.
 

@@ -344,14 +344,37 @@ def run_ortho_forward_homography(
         "ortho_homography",
         work_items=hcfg.width_mosaic_pixels * hcfg.height_mosaic_pixels / 1e6,
     ):
-        mosaic = homography_mosaic_batch(
-            images,
-            jnp.asarray(quats_c, jnp.float32),
-            jnp.asarray(trans_c, jnp.float32),
-            dataset.rig.camera,
-            hcfg,
-            needs_undistortion=dataset.rig.camera.dist_kind != "none",
-        )
+        import jax
+
+        devices = jax.devices()
+        if cfg.auto_shard and len(devices) > 1:
+            from aerial_mapper_tpu.parallel.mesh import make_mesh
+            from aerial_mapper_tpu.parallel.sharded import (
+                sharded_homography_mosaic_batch,
+            )
+
+            mesh = make_mesh(("tiles",), shape=(len(devices),),
+                             devices=devices)
+            mosaic = sharded_homography_mosaic_batch(
+                images,
+                jnp.asarray(quats_c, jnp.float32),
+                jnp.asarray(trans_c, jnp.float32),
+                dataset.rig.camera,
+                hcfg,
+                mesh,
+                needs_undistortion=dataset.rig.camera.dist_kind != "none",
+            )
+            logger.info("homography mosaic: image-sharded over %d devices",
+                        len(devices))
+        else:
+            mosaic = homography_mosaic_batch(
+                images,
+                jnp.asarray(quats_c, jnp.float32),
+                jnp.asarray(trans_c, jnp.float32),
+                dataset.rig.camera,
+                hcfg,
+                needs_undistortion=dataset.rig.camera.dist_kind != "none",
+            )
     mosaic = np.asarray(mosaic)
     if output_jpg:
         save_image(output_jpg, mosaic)

@@ -352,6 +352,42 @@ def test_band_cull_distorted_camera():
     assert (np.asarray(out_c["ortho"]) != 255.0).mean() > 0.1
 
 
+def test_sharded_homography_mosaic_matches_single_device():
+    """Image-sharded feather mosaic: the blend is a commutative weighted
+    sum, so sharding images over 8 devices + two psums must match the
+    sequential scan up to float summation order (7 images also exercises
+    the masked padding slot)."""
+    from aerial_mapper_tpu.config import OrthoHomographyConfig
+    from aerial_mapper_tpu.ortho.homography import homography_mosaic_batch
+    from aerial_mapper_tpu.parallel.sharded import (
+        sharded_homography_mosaic_batch,
+    )
+
+    mesh = make_mesh(("tiles",))
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(7, altitude=514.0, spacing=8.0)
+    images = jnp.stack(
+        [
+            render_image(scene, CAM, jnp.asarray(R, jnp.float32),
+                         jnp.asarray(t, jnp.float32))
+            for R, t in zip(Rs, ts)
+        ]
+    )
+    quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    ts_j = jnp.asarray(ts, jnp.float32)
+    cfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0, width_mosaic_pixels=96,
+        height_mosaic_pixels=64, resolution=1.0,
+        origin=(24.0, 0.0, 414.0), auto_window=False,
+    )
+    single = np.asarray(homography_mosaic_batch(
+        images, quats, ts_j, CAM, cfg, needs_undistortion=False))
+    sharded = np.asarray(sharded_homography_mosaic_batch(
+        images, quats, ts_j, CAM, cfg, mesh, needs_undistortion=False))
+    assert (single > 0).mean() > 0.3
+    np.testing.assert_allclose(sharded, single, atol=5e-3)
+
+
 def test_batch_driver_auto_shard_matches_single_device():
     """run_dsm/run_ortho_backward_grid auto-shard over the virtual mesh and
     must produce the same rasters as the forced single-device path."""
