@@ -584,21 +584,17 @@ def _dsm_band_update_routed(elevation_band, pts, valid, rank,
     return jnp.where(hit, values, elevation_band)
 
 
-def _map_step_body(
-    layers, ops: RingPairOperands, b_imgs, b_quats, b_ts, b_ids,
-    geom: MapGeometry, cam: Camera,
-    dsm_cfg: DsmConfig, ortho_cfg: OrthoBackwardGridConfig,
-    matcher, bm_cfg, sgm_cfg, pairs_axis, tiles_axis, cap,
-):
-    axes = (pairs_axis, tiles_axis)
-    n_tiles = jax.lax.psum(1, tiles_axis)
+def _ring_stereo_local(ops: RingPairOperands, cam, matcher, bm_cfg,
+                       sgm_cfg, axes):
+    """Shared shard-body front-end: ring-pass the boundary frame, then run
+    this device's stereo pairs. Returns (pts [b_loc, HW, 3],
+    intens [b_loc, HW], valid [b_loc, HW]) with padding slots masked."""
     n_dev = jax.lax.psum(1, axes)
     flat_idx = jax.lax.axis_index(axes)
 
-    # 1) ring-pass: reconstruct each pair's right frame from the NEXT
-    #    slot's left frame; only the device-boundary frame moves over ICI
+    # ring-pass: reconstruct each pair's right frame from the NEXT slot's
+    # left frame; only the device-boundary frame moves over ICI
     frames = ops.frames  # [b_loc, H, W]
-    b_loc = frames.shape[0]
     from_next = jax.lax.ppermute(
         frames[0], axes, [(i + 1, i) for i in range(n_dev - 1)]
     )
@@ -610,8 +606,6 @@ def _map_step_body(
         corners_rect=ops.corners_rect, R_G_C_rect=ops.R_G_C_rect,
         t_G_C1=ops.t_G_C1, baseline=ops.baseline,
     )
-
-    # 2) local stereo pairs -> points (data-parallel over ALL devices)
     pts, intens, valid = process_pairs_batched(
         pair_ops, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
         batch_chunk=1,
@@ -619,6 +613,73 @@ def _map_step_body(
     if ops.pair_valid is not None:
         # padding slots (pad_ring_pairs) contribute no points
         valid = valid & ops.pair_valid[:, None]
+    return pts, intens, valid
+
+
+def _stereo_shard_body(ops, cam, matcher, bm_cfg, sgm_cfg, axis_name):
+    return _ring_stereo_local(ops, cam, matcher, bm_cfg, sgm_cfg,
+                              (axis_name,))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cam", "matcher", "bm_cfg", "sgm_cfg", "mesh",
+                     "axis_name"),
+)
+def sharded_process_pairs(
+    ops: RingPairOperands,
+    cam: Camera,
+    mesh: Mesh,
+    matcher: str = "bm",
+    bm_cfg: BlockMatchingConfig = BlockMatchingConfig(),
+    sgm_cfg: SgmConfig = SgmConfig(),
+    axis_name: str = "tiles",
+):
+    """Pair-data-parallel stereo for the BATCH drivers: the ring pair
+    batch (pad with ``pad_ring_pairs`` first) is split across every
+    device; each runs its shard through the same per-pair program and the
+    outputs concatenate back in global pair order — bit-identical per pair
+    to ``process_pairs_batched`` (SURVEY.md §2.3 row 2: the sequential
+    stereo loop, stereo.cpp:91-110, scaled out)."""
+    b = ops.frames.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if b % n_dev != 0:
+        raise ValueError(
+            f"pair batch {b} not divisible by {n_dev} devices; pad with "
+            "pad_ring_pairs"
+        )
+    dp = P(axis_name)
+    pair_spec = RingPairOperands(
+        frames=dp, tail=P(), T1_inv=dp, T2_inv=dp, corners_rect=dp,
+        R_G_C_rect=dp, t_G_C1=dp, baseline=dp,
+        pair_valid=None if ops.pair_valid is None else dp,
+    )
+    fn = jax.shard_map(
+        partial(_stereo_shard_body, cam=cam, matcher=matcher,
+                bm_cfg=bm_cfg, sgm_cfg=sgm_cfg, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(pair_spec,),
+        out_specs=(dp, dp, dp),
+        check_vma=False,
+    )
+    return fn(ops)
+
+
+def _map_step_body(
+    layers, ops: RingPairOperands, b_imgs, b_quats, b_ts, b_ids,
+    geom: MapGeometry, cam: Camera,
+    dsm_cfg: DsmConfig, ortho_cfg: OrthoBackwardGridConfig,
+    matcher, bm_cfg, sgm_cfg, pairs_axis, tiles_axis, cap,
+):
+    axes = (pairs_axis, tiles_axis)
+    n_tiles = jax.lax.psum(1, tiles_axis)
+    flat_idx = jax.lax.axis_index(axes)
+
+    # 1-2) ring-pass + local stereo (data-parallel over ALL devices)
+    pts, intens, valid = _ring_stereo_local(
+        ops, cam, matcher, bm_cfg, sgm_cfg, axes
+    )
+    b_loc = ops.frames.shape[0]
     hw = pts.shape[1]
     pts_f = pts.reshape(-1, 3)
     valid_f = valid.reshape(-1)

@@ -62,15 +62,49 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         from aerial_mapper_tpu.camera.undistort import undistort_image
 
         images = [undistort_image(dataset.rig.camera, im) for im in images]
-    ops = prepare_pair_operands(
-        dataset.rig.camera.K, Rs, trans_c, images,
-        use_every_nth=cfg.stereo.use_every_nth_image,
-    )
-    with timer.stage("dense_pcl", work_items=len(images)):
-        points, intens, valid = process_pairs_batched(
-            ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
-            bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
+    import jax
+
+    devices = jax.devices()
+    if cfg.auto_shard and len(devices) > 1:
+        # pair-data-parallel stereo: ring frames sharded over every
+        # device, padded to the device count (stereo is the heaviest e2e
+        # stage — SURVEY.md §3.1; per-pair outputs are bit-identical to
+        # the sequential batched path, tests/test_parallel.py)
+        from aerial_mapper_tpu.parallel.mesh import make_mesh
+        from aerial_mapper_tpu.parallel.sharded import (
+            pad_ring_pairs,
+            prepare_ring_pair_operands,
+            sharded_process_pairs,
         )
+
+        ring = prepare_ring_pair_operands(
+            dataset.rig.camera.K, Rs, trans_c, images,
+            use_every_nth=cfg.stereo.use_every_nth_image,
+        )
+        b_real = ring.frames.shape[0]
+        ring = pad_ring_pairs(ring, len(devices))
+        mesh = make_mesh(("tiles",), shape=(len(devices),),
+                         devices=devices)
+        with timer.stage("dense_pcl", work_items=len(images)):
+            points, intens, valid = sharded_process_pairs(
+                ring, dataset.rig.camera, mesh,
+                matcher=cfg.stereo.matcher, bm_cfg=cfg.bm, sgm_cfg=cfg.sgm,
+            )
+        logger.info("dense_pcl: %d pairs sharded over %d devices",
+                    b_real, len(devices))
+        points, intens, valid = (
+            points[:b_real], intens[:b_real], valid[:b_real]
+        )
+    else:
+        ops = prepare_pair_operands(
+            dataset.rig.camera.K, Rs, trans_c, images,
+            use_every_nth=cfg.stereo.use_every_nth_image,
+        )
+        with timer.stage("dense_pcl", work_items=len(images)):
+            points, intens, valid = process_pairs_batched(
+                ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
+                bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
+            )
     return (
         points.reshape(-1, 3),
         intens.reshape(-1),
@@ -100,11 +134,10 @@ def run_dense_pcl(
 
 
 def _auto_mesh(geom: MapGeometry, cfg: PipelineConfig):
-    """Row-band ``tiles`` mesh over local devices, or None on one device.
-
-    Uses the largest tile count <= len(devices) that divides the map
-    height (band sharding needs equal rows per device).
-    """
+    """Row-band ``tiles`` mesh over ALL local devices, or None on one
+    device. Map heights that don't divide are handled by the drivers via
+    ``pad_map_geometry`` (south padding, cropped from every output)."""
+    del geom
     if not cfg.auto_shard:
         return None
     import jax
@@ -112,12 +145,29 @@ def _auto_mesh(geom: MapGeometry, cfg: PipelineConfig):
     devices = jax.devices()
     if len(devices) <= 1:
         return None
-    for t in range(len(devices), 1, -1):
-        if geom.height % t == 0:
-            from aerial_mapper_tpu.parallel.mesh import make_mesh
+    from aerial_mapper_tpu.parallel.mesh import make_mesh
 
-            return make_mesh(("tiles",), shape=(t,), devices=devices[:t])
-    return None
+    return make_mesh(("tiles",), shape=(len(devices),), devices=devices)
+
+
+def _pad_layers(layers: dict, geom: MapGeometry,
+                geom_pad: MapGeometry) -> dict:
+    """Append init-valued southern rows so an [H, W] layer dict fits the
+    padded band-sharded geometry (values for the original rows are
+    untouched; pad-row results are cropped before anything consumes them).
+    """
+    if geom_pad.height == geom.height:
+        return layers
+    init = create_map_state(geom_pad).layers
+    pad_rows = geom_pad.height - geom.height
+    return {
+        k: jnp.concatenate([v, init[k][-pad_rows:]], axis=0)
+        for k, v in layers.items()
+    }
+
+
+def _crop_layers(layers: dict, geom: MapGeometry) -> dict:
+    return {k: v[: geom.height] for k, v in layers.items()}
 
 
 def _resolve_cloud(dataset, cfg, timer, point_cloud=None):
@@ -153,14 +203,19 @@ def run_dsm(
     with timer.stage("dsm", work_items=geom.height * geom.width / 1e6):
         if mesh is not None:
             from aerial_mapper_tpu.parallel.sharded import (
+                pad_map_geometry,
                 shard_layers,
                 sharded_dsm_update,
             )
 
-            layers = shard_layers(layers, mesh, "tiles")
-            layers["elevation"] = sharded_dsm_update(
-                layers["elevation"], points, valid, geom, cfg.dsm, mesh
+            geom_pad, _ = pad_map_geometry(geom, mesh.shape["tiles"])
+            layers = shard_layers(
+                _pad_layers(layers, geom, geom_pad), mesh, "tiles"
             )
+            layers["elevation"] = sharded_dsm_update(
+                layers["elevation"], points, valid, geom_pad, cfg.dsm, mesh
+            )
+            layers = _crop_layers(layers, geom)
             logger.info("dsm: row-band sharded over %d devices",
                         mesh.shape["tiles"])
         else:
@@ -216,6 +271,7 @@ def run_ortho_backward_grid(
         if mesh is not None:
             from aerial_mapper_tpu.parallel.sharded import (
                 band_image_operands,
+                pad_map_geometry,
                 shard_layers,
                 sharded_backward_grid_update_banded,
             )
@@ -233,16 +289,20 @@ def run_ortho_backward_grid(
                 e0 = cfg.ortho_backward.orthomosaic_elevation_m
                 elev_lo, elev_hi = e0 - 1e-3, e0 + 1e-3
             n_tiles = mesh.shape["tiles"]
+            geom_pad, _ = pad_map_geometry(geom, n_tiles)
             banded = band_image_operands(
-                geom, n_tiles, np.asarray(quats_c), np.asarray(trans_c),
-                images, dataset.rig.camera, elev_min=elev_lo,
-                elev_max=elev_hi,
+                geom_pad, n_tiles, np.asarray(quats_c),
+                np.asarray(trans_c), images, dataset.rig.camera,
+                elev_min=elev_lo, elev_max=elev_hi,
             )
-            layers = shard_layers(layers, mesh, "tiles")
+            layers = shard_layers(
+                _pad_layers(layers, geom, geom_pad), mesh, "tiles"
+            )
             layers = sharded_backward_grid_update_banded(
-                layers, banded, geom, dataset.rig.camera,
+                layers, banded, geom_pad, dataset.rig.camera,
                 cfg.ortho_backward, mesh,
             )
+            layers = _crop_layers(layers, geom)
             kept = int((np.asarray(banded.ids) >= 0).sum())
             logger.info(
                 "ortho: row-band sharded over %d devices; band cull kept "

@@ -64,10 +64,13 @@ def _incremental_mesh(cfg: PipelineConfig):
                      devices=devices)
 
 
-def _stereo_image(dataset: Dataset, cfg: PipelineConfig, i: int):
-    """Frame i prepared for matching: grayscale + undistorted (the batch
-    driver's preprocessing, pipeline/batch.py _stereo_cloud)."""
-    image = jnp.asarray(dataset.images[i], jnp.float32)
+def _stereo_image_from(image: jax.Array, dataset: Dataset,
+                       cfg: PipelineConfig):
+    """An already-on-device frame prepared for matching: grayscale +
+    undistorted (the batch driver's preprocessing, pipeline/batch.py
+    _stereo_cloud). Taking the device array avoids re-transferring the
+    frame the subset accumulation already moved (each h2d costs real
+    wall-clock on the tunnel)."""
     if image.ndim == 3:
         from aerial_mapper_tpu.image.color import rgb_to_gray
 
@@ -79,23 +82,47 @@ def _stereo_image(dataset: Dataset, cfg: PipelineConfig, i: int):
     return image
 
 
+def _frame_stream(dataset: Dataset, prestage: bool):
+    """Device-resident frames, one per iteration.
+
+    ``prestage=False`` (streaming semantics): each frame is transferred
+    as it 'arrives' — the honest mapping-on-the-fly mode. ``True``: the
+    whole sequence moves to the device in ONE bulk transfer up front, so
+    the loop measures pure dispatch + compute (the throughput mode for a
+    dataset already on disk; 249 small transfers cost far more than one
+    large one on the tunnel)."""
+    if prestage:
+        stack = jnp.asarray(np.stack(dataset.images), jnp.float32)
+        for i in range(dataset.num_frames):
+            yield stack[i]
+    else:
+        for i in range(dataset.num_frames):
+            yield jnp.asarray(dataset.images[i], jnp.float32)
+
+
 def run_incremental(
     dataset: Dataset,
     cfg: PipelineConfig = PipelineConfig(),
     update_every_nth: int = 5,
     on_update: Optional[Callable] = None,
+    prestage_images: bool = False,
 ):
     """Stream the sequence; returns the final (layers, geom).
 
     ``on_update(step, layers, geom)`` is called after every map update — the
     framework's substitute for the reference's per-update ROS publish
     (main-ortho-backward-grid-incremental.cc:160).
+
+    ``prestage_images``: move the whole sequence to the device in one bulk
+    transfer up front instead of per-frame as the stream arrives — the
+    throughput mode for on-disk datasets (see ``_frame_stream``).
     """
     geom = MapGeometry.from_config(cfg.grid)
     mesh = _incremental_mesh(cfg)
     if mesh is not None:
         return _run_incremental_sharded(
-            dataset, cfg, geom, mesh, update_every_nth, on_update
+            dataset, cfg, geom, mesh, update_every_nth, on_update,
+            prestage_images,
         )
 
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
@@ -109,24 +136,25 @@ def run_incremental(
     images_subset = []
     quats_subset, trans_subset = [], []
     prev: Optional[int] = None  # frame index kept at the previous update
+    prev_stereo = None  # its matcher-ready device image (no re-transfer)
     num_updates = 0
 
-    for i in range(dataset.num_frames):
-        images_subset.append(jnp.asarray(dataset.images[i], jnp.float32))
+    for i, frame in enumerate(_frame_stream(dataset, prestage_images)):
+        images_subset.append(frame)
         quats_subset.append(quats_c[i])
         trans_subset.append(trans_c[i])
 
         if (i + 1) % update_every_nth != 0:
             continue
 
+        cur_stereo = _stereo_image_from(frame, dataset, cfg)
         # stereo against the frame kept at the previous update (the
         # stereo.addFrame previous-frame chain, stereo.cpp:127-147); the
         # first update has no previous frame and skips the DSM delta
         if prev is not None:
             ops = prepare_pair_operands(
                 cam.K, Rs[[prev, i]], trans_c[[prev, i]],
-                [_stereo_image(dataset, cfg, prev),
-                 _stereo_image(dataset, cfg, i)],
+                [prev_stereo, cur_stereo],
             )
             with timer.stage("incremental_dsm"):
                 pts, _intens, valid = process_pairs_batched(
@@ -149,6 +177,7 @@ def run_incremental(
                 cfg.ortho_backward,
             )
         prev = i
+        prev_stereo = cur_stereo
         num_updates += 1
         if on_update is not None:
             on_update(i, layers, geom)
@@ -168,6 +197,7 @@ def _run_incremental_sharded(
     mesh,
     update_every_nth: int,
     on_update: Optional[Callable],
+    prestage_images: bool = False,
 ):
     """Mesh-sharded incremental driver: one fused ``sharded_map_step`` per
     update. Overflow is accumulated on device and checked once at the end
@@ -196,6 +226,7 @@ def _run_incremental_sharded(
     images_subset = []
     quats_subset, trans_subset = [], []
     prev: Optional[int] = None
+    prev_stereo = None
     num_updates = 0
     total_overflow = jnp.zeros((), jnp.int32)
 
@@ -204,8 +235,8 @@ def _run_incremental_sharded(
             return ls
         return {k: v[: geom.height] for k, v in ls.items()}
 
-    for i in range(dataset.num_frames):
-        images_subset.append(jnp.asarray(dataset.images[i], jnp.float32))
+    for i, frame in enumerate(_frame_stream(dataset, prestage_images)):
+        images_subset.append(frame)
         quats_subset.append(quats_c[i])
         trans_subset.append(trans_c[i])
 
@@ -216,12 +247,12 @@ def _run_incremental_sharded(
             np.asarray(quats_subset), np.asarray(trans_subset),
             jnp.stack(images_subset),
         )
+        cur_stereo = _stereo_image_from(frame, dataset, cfg)
         if prev is not None:
             with timer.stage("incremental_step"):
                 ring = prepare_ring_pair_operands(
                     cam.K, Rs[[prev, i]], trans_c[[prev, i]],
-                    [_stereo_image(dataset, cfg, prev),
-                     _stereo_image(dataset, cfg, i)],
+                    [prev_stereo, cur_stereo],
                 )
                 ring = pad_ring_pairs(ring, n_devices)
                 layers, diag = sharded_map_step(
@@ -243,6 +274,7 @@ def _run_incremental_sharded(
                     geom_pad, cam, cfg.ortho_backward, mesh,
                 )
         prev = i
+        prev_stereo = cur_stereo
         num_updates += 1
         if on_update is not None:
             on_update(i, crop(layers), geom)

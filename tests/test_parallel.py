@@ -352,6 +352,74 @@ def test_band_cull_distorted_camera():
     assert (np.asarray(out_c["ortho"]) != 255.0).mean() > 0.1
 
 
+def test_sharded_process_pairs_matches_batched():
+    """Pair-data-parallel batch stereo (ring frames over 8 devices, 6
+    real pairs padded to 8) is bit-identical per pair to the sequential
+    batched path."""
+    from aerial_mapper_tpu.config import BlockMatchingConfig
+    from aerial_mapper_tpu.parallel.sharded import (
+        pad_ring_pairs,
+        prepare_ring_pair_operands,
+        sharded_process_pairs,
+    )
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    mesh = make_mesh(("tiles",))
+    cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(7, altitude=474.0, spacing=8.0)  # 6 pairs
+    images = [
+        render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                     jnp.asarray(t, jnp.float32))
+        for R, t in zip(Rs, ts)
+    ]
+    bm_cfg = BlockMatchingConfig(num_disparities=32)
+    ring = pad_ring_pairs(
+        prepare_ring_pair_operands(cam.K, Rs, ts, images), 8
+    )
+    pts_s, int_s, val_s = sharded_process_pairs(ring, cam, mesh,
+                                                bm_cfg=bm_cfg)
+    ops = prepare_pair_operands(cam.K, Rs, ts, images)
+    pts_b, int_b, val_b = process_pairs_batched(ops, cam, matcher="bm",
+                                                bm_cfg=bm_cfg,
+                                                batch_chunk=1)
+    np.testing.assert_array_equal(np.asarray(val_s[:6]), np.asarray(val_b))
+    a, b = np.asarray(pts_s[:6]), np.asarray(pts_b)
+    np.testing.assert_array_equal(
+        np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b)
+    )
+    np.testing.assert_array_equal(np.asarray(int_s[:6]), np.asarray(int_b))
+    assert not np.asarray(val_s[6:]).any()  # padding slots are dead
+
+
+def test_step_diagnostics_check():
+    """The fused step's validity signals: routing overflow and band-cull
+    slab violations raise; in-slab ranges (and sentinel +/-inf on an
+    all-NaN map, which violates any finite slab) behave as documented."""
+    from aerial_mapper_tpu.parallel.sharded import StepDiagnostics
+
+    ok = StepDiagnostics(jnp.int32(0), jnp.float32(410.0),
+                         jnp.float32(420.0))
+    ok.check()
+    ok.check(405.0, 425.0)
+    with pytest.raises(RuntimeError, match="dropped 3 routed points"):
+        StepDiagnostics(jnp.int32(3), jnp.float32(410.0),
+                        jnp.float32(420.0)).check()
+    with pytest.raises(RuntimeError, match="escapes the band-cull slab"):
+        ok.check(411.0, 425.0)
+    with pytest.raises(RuntimeError, match="escapes the band-cull slab"):
+        ok.check(405.0, 419.0)
+    # all-NaN map yields +/-inf sentinels: passes the bare check, fails
+    # any finite slab (a cull on an empty map has nothing to texture, but
+    # the signal stays conservative)
+    empty = StepDiagnostics(jnp.int32(0), jnp.float32(jnp.inf),
+                            jnp.float32(-jnp.inf))
+    empty.check()
+
+
 def test_sharded_homography_mosaic_matches_single_device():
     """Image-sharded feather mosaic: the blend is a commutative weighted
     sum, so sharding images over 8 devices + two psums must match the
