@@ -222,13 +222,31 @@ def _run_incremental_sharded(
     quats_c, trans_c = dataset.camera_poses()
     Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
 
+    # multi-process meshes need globally-addressable operands: every rank
+    # streams the same frames (per-host datasets are identical replicas in
+    # this driver), so the replicated globalization is exact
+    multiproc = jax.process_count() > 1
+
+    def to_global(tree):
+        if not multiproc:
+            return tree
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, P()
+            ),
+            tree,
+        )
+
     timer = StageTimer()
     images_subset = []
     quats_subset, trans_subset = [], []
     prev: Optional[int] = None
     prev_stereo = None
     num_updates = 0
-    total_overflow = jnp.zeros((), jnp.int32)
+    total_overflow = None  # device-accumulated; read back once at the end
 
     def crop(ls):
         if pad_rows == 0:
@@ -256,11 +274,15 @@ def _run_incremental_sharded(
                 )
                 ring = pad_ring_pairs(ring, n_devices)
                 layers, diag = sharded_map_step(
-                    layers, ring, banded, geom_pad, cam, cfg.dsm,
-                    cfg.ortho_backward, mesh, matcher=cfg.stereo.matcher,
-                    bm_cfg=cfg.bm, sgm_cfg=cfg.sgm,
+                    layers, to_global(ring), to_global(banded), geom_pad,
+                    cam, cfg.dsm, cfg.ortho_backward, mesh,
+                    matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
+                    sgm_cfg=cfg.sgm,
                 )
-                total_overflow = total_overflow + diag.overflow
+                total_overflow = (
+                    diag.overflow if total_overflow is None
+                    else total_overflow + diag.overflow
+                )
         else:
             # first update: no stereo pair exists yet; ortho-only update,
             # exactly the single-device driver's first step
@@ -269,8 +291,9 @@ def _run_incremental_sharded(
             )
 
             with timer.stage("incremental_step"):
+                gb = to_global(banded)
                 layers = sharded_backward_grid_update(
-                    layers, banded.quats, banded.ts, banded.images,
+                    layers, gb.quats, gb.ts, gb.images,
                     geom_pad, cam, cfg.ortho_backward, mesh,
                 )
         prev = i
@@ -282,7 +305,9 @@ def _run_incremental_sharded(
         quats_subset.clear()
         trans_subset.clear()
 
-    overflow = int(total_overflow)
+    overflow = 0 if total_overflow is None else int(
+        np.asarray(total_overflow.addressable_shards[0].data)
+    )
     if overflow:
         raise RuntimeError(
             f"incremental sharded run dropped {overflow} routed points; "

@@ -196,6 +196,119 @@ def test_two_process_fused_map_step(tmp_path):
     assert "RANK0_MAP_STEP_OK" in outs[0], outs[0][-3000:]
 
 
+_WORKER_INCREMENTAL = textwrap.dedent(
+    """
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from aerial_mapper_tpu.parallel.distributed import (
+        initialize_distributed, gather_row_bands_to_host, is_rank0)
+
+    multi = initialize_distributed(
+        f"localhost:{{port}}", num_processes=2, process_id=pid)
+    assert multi and jax.device_count() == 4
+
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from aerial_mapper_tpu.camera.models import Camera
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.config import (
+        BlockMatchingConfig, DsmConfig, GridMapConfig, PipelineConfig,
+        StereoConfig)
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+    from aerial_mapper_tpu.synth import (
+        SyntheticScene, make_survey_poses, render_image)
+
+    cam = Camera(fx=64.0, fy=64.0, cx=32.0, cy=24.0, width=64, height=48)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+    Rs, ts = make_survey_poses(6, altitude=474.0, spacing=4.0)
+    images = [
+        np.asarray(render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                                jnp.asarray(t, jnp.float32)))
+        for R, t in zip(Rs, ts)
+    ]
+    rig = CameraRig(cameras=(cam,),
+                    T_C_B_quats=np.array([[1.0, 0.0, 0.0, 0.0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float64)))
+    dataset = Dataset(rig=rig, quats_G_B=quats,
+                      trans_G_B=np.asarray(ts, np.float64), images=images)
+    cfg = PipelineConfig(
+        grid=GridMapConfig(center_easting=8.0, center_northing=0.0,
+                           delta_easting=32.0, delta_northing=30.0,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1),
+        bm=BlockMatchingConfig(num_disparities=16),
+        dsm=DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8),
+    )
+    # sharded across 2 processes x 2 devices (auto mesh over 4 devices)
+    layers, geom = run_incremental(dataset, cfg, update_every_nth=2)
+    # per-rank single-device reference (full local data)
+    single, _ = run_incremental(
+        dataset, dataclasses.replace(cfg, auto_shard=False),
+        update_every_nth=2)
+    # materialize the (cropped, band-sharded) global layers on every rank
+    # and compare against the local single-device reference
+    from jax.experimental import multihost_utils
+
+    ok = True
+    for key in ("elevation", "ortho", "elevation_angle",
+                "observation_index"):
+        full = np.asarray(
+            multihost_utils.process_allgather(layers[key], tiled=True)
+        )
+        b = np.asarray(single[key])
+        if full.shape != b.shape:  # allgather may tile an extra factor
+            full = full.reshape((-1,) + b.shape)[0]
+        if not np.array_equal(np.where(np.isnan(full), -1.0, full),
+                              np.where(np.isnan(b), -1.0, b)):
+            ok = False
+            print(f"MISMATCH {{key}}", flush=True)
+    assert ok
+    if is_rank0():
+        cov = float(np.isfinite(np.asarray(single["elevation"])).mean())
+        assert cov > 0.3, cov
+        print(f"RANK0_INC_OK {{cov:.2f}}", flush=True)
+    """
+)
+
+
+def test_two_process_incremental_driver(tmp_path):
+    """The production incremental driver itself across 2 processes x 2
+    devices: every rank's addressable row bands are bit-identical to the
+    single-device incremental run."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker_inc.py"
+    script.write_text(_WORKER_INCREMENTAL.format(repo=repo))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    outs = None
+    for _attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for pid in (0, 1)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+    assert all(p.returncode == 0 for p in procs), outs
+    assert "RANK0_INC_OK" in outs[0], outs[0][-3000:]
+
+
 def test_two_process_distributed_dsm(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
