@@ -724,8 +724,11 @@ def _map_step_body(
 
     # 5) tile-sharded backward-grid ortho against the band's image subset:
     #    CULLED layout ([1, M, ...] per-band locals) or REPLICATED layout
-    #    ([M, ...] shared, replicated_band_images)
-    if b_imgs.ndim == 3:
+    #    ([M, ...] shared, replicated_band_images). The layouts are told
+    #    apart by the ids rank ([n_tiles, M] vs [M]) — image rank is
+    #    ambiguous once color channels enter ([M, H, W, 3] replicated has
+    #    the same rank as [1, M, H, W] banded gray).
+    if b_ids.ndim == 1:
         quats_m, ts_m, imgs_m, ids_m = b_quats, b_ts, b_imgs, b_ids
     else:
         quats_m, ts_m, imgs_m, ids_m = (
@@ -840,7 +843,7 @@ def sharded_map_step(
         R_G_C_rect=dp, t_G_C1=dp, baseline=dp,
         pair_valid=None if ops.pair_valid is None else dp,
     )
-    if banded.images.ndim == 3:  # replicated every-band layout
+    if banded.ids.ndim == 1:  # replicated every-band layout
         band_specs = (P(), P(), P(), P())
     else:
         band_specs = (P(tiles_axis), P(tiles_axis), P(tiles_axis),

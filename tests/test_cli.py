@@ -382,6 +382,64 @@ def test_cli_colored_ortho_end_to_end(tmp_path):
     assert np.median(err) < 12.0, np.median(err)
 
 
+def test_incremental_sharded_colored_ortho(tmp_path):
+    """Colored incremental mapping through the fused sharded step: RGB
+    subset images ride the replicated band layout (regression: the
+    replicated-vs-banded discrimination must key on ids rank, not image
+    rank — [M, H, W, 3] replicated color has the same rank as banded
+    gray) and the colored_ortho layer stays bit-identical to the
+    single-device run."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aerial_mapper_tpu.config import (
+        BlockMatchingConfig,
+        DsmConfig,
+        GridMapConfig,
+        OrthoBackwardGridConfig,
+        PipelineConfig,
+        StereoConfig,
+    )
+    from aerial_mapper_tpu.pipeline.dataset import load_dataset
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    d = str(tmp_path / "color_inc_ds")
+    main_make_synthetic_dataset.main([
+        "--output_directory", d, "--num_images", "6",
+        "--image_width", "96", "--image_height", "64",
+        "--focal_length", "96", "--altitude", "454", "--spacing", "5",
+        "--color",
+    ])
+    rig = ("camera_rig.yaml"
+           if os.path.exists(os.path.join(d, "camera_rig.yaml"))
+           else "camera_fixed_wing.yaml")
+    ds = load_dataset(d, rig, "opt_poses.txt", "image_", color=True)
+    cfg = PipelineConfig(
+        grid=GridMapConfig(center_easting=12, center_northing=0,
+                           delta_easting=30, delta_northing=26,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1),
+        bm=BlockMatchingConfig(num_disparities=32),
+        dsm=DsmConfig(interpolation_radius_sq=2.0),
+        ortho_backward=OrthoBackwardGridConfig(colored_ortho=True),
+    )
+    l_sh, _ = run_incremental(ds, cfg, update_every_nth=2)
+    l_1, _ = run_incremental(
+        ds, dataclasses.replace(cfg, auto_shard=False), update_every_nth=2
+    )
+    for k in ("elevation", "colored_ortho", "elevation_angle",
+              "observation_index"):
+        a, b = np.asarray(l_sh[k]), np.asarray(l_1[k])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=k,
+        )
+    assert np.isfinite(np.asarray(l_sh["colored_ortho"])).mean() > 0.2
+
+
 def test_gflags_false_negates_default_true_flag(dataset_dir, tmp_path):
     """--flag=false must actually disable default-true booleans (gflags
     semantics), e.g. select SGM via --use_BM=false."""
