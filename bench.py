@@ -78,19 +78,46 @@ def _build_workload():
     # synthetic renders are quantized once so the TPU gathers uint8 texels
     # while the CPU baseline reads the SAME values as float32 — identical
     # workload data, each side in its natural layout.
-    images = jnp.stack(
-        [
-            render_image(scene, cam, jnp.asarray(R, jnp.float32),
-                         jnp.asarray(t, jnp.float32))
-            for R, t in zip(Rs, ts)
-        ]
+    #
+    # The rendered workload is cached on disk: every worker subprocess
+    # otherwise re-renders 249 images THROUGH THE TUNNEL, and a degraded
+    # tunnel window (queue flushes of tens of seconds, CLAUDE.md) can blow
+    # a worker's whole timeout on workload construction alone.
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache",
+        f"workload_{NUM_IMAGES}_{IMG_W}x{IMG_H}_{MAP_CELLS}.npz",
     )
-    images = jnp.clip(jnp.round(images), 0.0, 255.0).astype(jnp.uint8)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        images_np, elevation_np = z["images"], z["elevation"]
+        Rs, ts = z["Rs"], z["ts"]
+        images = jnp.asarray(images_np)
+    else:
+        images = jnp.stack(
+            [
+                render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                             jnp.asarray(t, jnp.float32))
+                for R, t in zip(Rs, ts)
+            ]
+        )
+        images = jnp.clip(jnp.round(images), 0.0, 255.0).astype(jnp.uint8)
+        geom0 = MapGeometry(center_easting=0.0, center_northing=0.0,
+                            resolution=RESOLUTION, height=MAP_CELLS,
+                            width=MAP_CELLS)
+        ce0, cn0 = cell_centers(geom0)
+        elevation_np = np.asarray(scene.height(ce0, cn0))
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        # np.savez appends .npz to names without it — keep the suffix
+        tmp = cache[:-4] + f".tmp{os.getpid()}.npz"
+        np.savez(tmp, images=np.asarray(images),
+                 elevation=elevation_np, Rs=np.asarray(Rs),
+                 ts=np.asarray(ts))
+        os.replace(tmp, cache)
     geom = MapGeometry(center_easting=0.0, center_northing=0.0,
                        resolution=RESOLUTION, height=MAP_CELLS,
                        width=MAP_CELLS)
     ce, cn = cell_centers(geom)
-    elevation = scene.height(ce, cn)
+    elevation = jnp.asarray(elevation_np, jnp.float32)
     layers = dict(create_map_state(geom).layers)
     layers["elevation"] = elevation
     quats = jnp.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
@@ -100,21 +127,34 @@ def _build_workload():
         quats, ts_j
 
 
-def _min_window(step, state0, k: int, reps: int, readback) -> float:
-    """Min wall-time over ``reps`` windows of [k chained calls -> readback].
+def _min_window(step, state0, k: int, reps: int, readback,
+                budget_s: float = 240.0) -> float:
+    """Min wall-time over up to ``reps`` windows of [k chained calls ->
+    readback].
 
     ``readback(state) -> float`` pulls one scalar, ending the window when
     the device has finished every enqueued program. The queue is drained
     before each window so stale backlog (and its wildly variable tunnel
     flush latency) never lands inside a timed region.
+
+    ``budget_s`` bounds the TOTAL time spent collecting windows: under a
+    degraded tunnel every readback can stall for tens of seconds, and a
+    fixed rep count then blows the worker timeout with no number at all.
+    At least one window is always measured; later reps are skipped once
+    the budget is spent (a noisier min beats a timeout).
     """
     best = float("inf")
     # true drain: run one step and read it back, so compile/warm-up backlog
     # is flushed even when state0 is an already-committed constant (a bare
     # readback(state0) would enqueue nothing and flush nothing)
+    t_start = time.perf_counter()
     state = step(state0)
     readback(state)
-    for _ in range(reps):
+    for r in range(reps):
+        if r > 0 and time.perf_counter() - t_start > budget_s:
+            log(f"_min_window: budget {budget_s:.0f}s spent after {r} "
+                f"reps (degraded tunnel?); keeping current min")
+            break
         t0 = time.perf_counter()
         for _ in range(k):
             # single-device FIFO stream: k enqueued programs execute
@@ -629,13 +669,19 @@ def main():
 
     def spawn_dl(mode: str, floor: float = 120.0, retry: bool = False):
         """Deadline-gated worker spawn: returns the RESULT floats or None
-        (skipped / failed); never raises, never outlives the budget."""
+        (skipped / failed); never raises, never outlives the budget.
+
+        With ``retry`` the first attempt is capped at roughly half the
+        remaining budget so a tunnel-stalled attempt cannot starve the
+        retry (round-3 lesson: a 1100 s first attempt left the retry
+        70 s and the round a null headline)."""
         rem = remaining()
         if rem < floor:
             log(f"skip {mode}: {rem:.0f}s of budget left (< {floor:.0f}s)")
             return None
+        first_cap = (rem - 30.0) / 2.0 if retry else rem - 30.0
         try:
-            return _spawn(mode, timeout=max(60.0, min(1100.0, rem - 30.0)))
+            return _spawn(mode, timeout=max(60.0, min(1100.0, first_cap)))
         except Exception as e:  # noqa: BLE001
             log(f"{mode} worker failed: {type(e).__name__}: {e}")
             if retry and remaining() > floor:
