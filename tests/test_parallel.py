@@ -352,6 +352,55 @@ def test_band_cull_distorted_camera():
     assert (np.asarray(out_c["ortho"]) != 255.0).mean() > 0.1
 
 
+@pytest.mark.parametrize("dist_kind,params", [
+    ("radial-tangential", (-0.28, 0.07, 1e-4, -2e-4)),
+    ("equidistant", (0.08, -0.03, 0.015, -0.008)),
+])
+def test_band_cull_conservative_under_distortion(dist_kind, params):
+    """The boundary-ray cull must be CONSERVATIVE for every lens model: if
+    any cell of a band at any slab elevation projects visibly into an
+    image (the exact predicate the ortho pass uses,
+    ortho-backward-grid.cc:74-81 via camera.models.project), that image
+    must be a member of the band."""
+    from aerial_mapper_tpu.camera.models import project
+    from aerial_mapper_tpu.geo.se3 import quat_conjugate, quat_to_matrix
+    from aerial_mapper_tpu.parallel.sharded import band_image_operands
+
+    geom = MapGeometry(center_easting=40.0, center_northing=0.0,
+                       resolution=1.0, height=192, width=48)
+    cam = Camera(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160,
+                 height=120, dist_kind=dist_kind, dist_params=params)
+    Rs, ts = make_survey_poses(9, altitude=474.0, spacing=8.0)
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    n_tiles, n = 4, len(Rs)
+    banded = band_image_operands(
+        geom, n_tiles, quats, ts, np.zeros((n, 4, 4), np.float32), cam,
+        elev_min=395.0, elev_max=435.0,
+    )
+    ids = np.asarray(banded.ids)
+    members = [set(ids[t][ids[t] >= 0].tolist()) for t in range(n_tiles)]
+    # cull has bite
+    assert sum(len(m) for m in members) < n_tiles * n
+
+    # oracle: project every band cell (x slab ends) into every camera
+    ce, cn = cell_centers(geom)
+    band_h = geom.height // n_tiles
+    R_cw = np.asarray(quat_to_matrix(quat_conjugate(
+        jnp.asarray(quats, jnp.float32))))
+    for t in range(n_tiles):
+        rows = slice(t * band_h, (t + 1) * band_h)
+        for z0 in (395.0, 435.0):
+            cells = np.stack(
+                [np.asarray(ce)[rows].ravel(), np.asarray(cn)[rows].ravel(),
+                 np.full(band_h * geom.width, z0)], axis=1)
+            for i in range(n):
+                p_c = (cells - np.asarray(ts)[i]) @ np.asarray(R_cw[i]).T
+                _uv, vis = project(cam, jnp.asarray(p_c, jnp.float32))
+                if bool(np.asarray(vis).any()):
+                    assert i in members[t], \
+                        f"band {t} culled visible image {i} ({dist_kind})"
+
+
 def test_sharded_process_pairs_matches_batched():
     """Pair-data-parallel batch stereo (ring frames over 8 devices, 6
     real pairs padded to 8) is bit-identical per pair to the sequential
