@@ -32,6 +32,15 @@ def main(argv=None):
                         "(aerial-mapper-grid-map.cc:51-64).")
     p.add_argument("--preview_dir", default="/tmp/aerial_mapper_preview")
     p.add_argument("--output_layers_npz", default=None)
+    p.add_argument("--resume_layers_npz", default=None,
+                   help="Resume mapping onto a previously saved layers "
+                        "artifact (from --output_layers_npz or the live "
+                        "preview dump) instead of a fresh map.")
+    p.add_argument("--start_frame", type=int, default=0,
+                   help="First frame to stream (use with "
+                        "--resume_layers_npz: the frame right after the "
+                        "checkpointed run's last map update; must be a "
+                        "multiple of --update_every_nth).")
     args = common.parse(p, _strip_prefix(argv))
 
     import os
@@ -70,9 +79,16 @@ def main(argv=None):
                 {k: np.asarray(v) for k, v in layers.items()}, geom,
             )
 
+    initial_layers = None
+    if args.resume_layers_npz:
+        from aerial_mapper_tpu.io.artifacts import load_layers
+
+        initial_layers, _resume_geom = load_layers(args.resume_layers_npz)
+
     layers, geom = run_incremental(
         dataset, cfg, update_every_nth=args.update_every_nth,
-        on_update=on_update,
+        on_update=on_update, initial_layers=initial_layers,
+        start_frame=args.start_frame,
     )
     save_image(args.orthomosaic_jpg_filename, np.asarray(layers["ortho"]))
     if args.output_layers_npz:

@@ -82,8 +82,8 @@ def _stereo_image_from(image: jax.Array, dataset: Dataset,
     return image
 
 
-def _frame_stream(dataset: Dataset, prestage: bool):
-    """Device-resident frames, one per iteration.
+def _frame_stream(dataset: Dataset, prestage: bool, start: int = 0):
+    """Device-resident (frame_index, frame) pairs from ``start`` on.
 
     ``prestage=False`` (streaming semantics): each frame is transferred
     as it 'arrives' — the honest mapping-on-the-fly mode. ``True``: the
@@ -92,12 +92,31 @@ def _frame_stream(dataset: Dataset, prestage: bool):
     dataset already on disk; 249 small transfers cost far more than one
     large one on the tunnel)."""
     if prestage:
-        stack = jnp.asarray(np.stack(dataset.images), jnp.float32)
-        for i in range(dataset.num_frames):
-            yield stack[i]
+        stack = jnp.asarray(np.stack(dataset.images[start:]), jnp.float32)
+        for i in range(start, dataset.num_frames):
+            yield i, stack[i - start]
     else:
-        for i in range(dataset.num_frames):
-            yield jnp.asarray(dataset.images[i], jnp.float32)
+        for i in range(start, dataset.num_frames):
+            yield i, jnp.asarray(dataset.images[i], jnp.float32)
+
+
+def _resume_state(dataset: Dataset, cfg: PipelineConfig, start_frame: int,
+                  update_every_nth: int):
+    """(prev, prev_stereo) for a resumed stream: the frame kept at the
+    last update before ``start_frame`` (= start_frame - 1, which is why
+    resume points must sit on an update boundary)."""
+    if start_frame == 0:
+        return None, None
+    if start_frame % update_every_nth != 0:
+        raise ValueError(
+            f"start_frame {start_frame} must be a multiple of "
+            f"update_every_nth {update_every_nth} (resume continues from "
+            "an update boundary so the previous-frame pairing chain is "
+            "reconstructible)"
+        )
+    prev = start_frame - 1
+    frame = jnp.asarray(dataset.images[prev], jnp.float32)
+    return prev, _stereo_image_from(frame, dataset, cfg)
 
 
 def run_incremental(
@@ -106,6 +125,8 @@ def run_incremental(
     update_every_nth: int = 5,
     on_update: Optional[Callable] = None,
     prestage_images: bool = False,
+    initial_layers: Optional[dict] = None,
+    start_frame: int = 0,
 ):
     """Stream the sequence; returns the final (layers, geom).
 
@@ -116,30 +137,54 @@ def run_incremental(
     ``prestage_images``: move the whole sequence to the device in one bulk
     transfer up front instead of per-frame as the stream arrives — the
     throughput mode for on-disk datasets (see ``_frame_stream``).
+
+    ``initial_layers`` + ``start_frame``: resume mapping onto a previously
+    saved map state (``io.artifacts.load_layers``), continuing the stream
+    from ``start_frame`` (a multiple of ``update_every_nth`` — the frame
+    right after the checkpointed run's last update). The result is
+    EXACTLY the uninterrupted run's map (asserted by tests/test_cli.py):
+    the saved layers equal the full run's state at that point, and every
+    later update consumes only them plus the remaining frames. Shapes
+    must match ``cfg.grid``.
     """
     geom = MapGeometry.from_config(cfg.grid)
+    if initial_layers is not None:
+        bad = {
+            k: v.shape for k, v in initial_layers.items()
+            if v.shape[:2] != (geom.height, geom.width)
+        }
+        if bad:
+            raise ValueError(
+                f"initial_layers shapes {bad} do not match the configured "
+                f"{geom.height}x{geom.width} grid"
+            )
     mesh = _incremental_mesh(cfg)
     if mesh is not None:
         return _run_incremental_sharded(
             dataset, cfg, geom, mesh, update_every_nth, on_update,
-            prestage_images,
+            prestage_images, initial_layers, start_frame,
         )
 
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
 
     cam = dataset.rig.camera
     layers = dict(create_map_state(geom).layers)
+    if initial_layers is not None:
+        layers.update(
+            {k: jnp.asarray(v) for k, v in initial_layers.items()}
+        )
     quats_c, trans_c = dataset.camera_poses()
     Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
 
     timer = StageTimer()
     images_subset = []
     quats_subset, trans_subset = [], []
-    prev: Optional[int] = None  # frame index kept at the previous update
-    prev_stereo = None  # its matcher-ready device image (no re-transfer)
+    # frame kept at the previous update + its matcher-ready device image
+    prev, prev_stereo = _resume_state(dataset, cfg, start_frame,
+                                      update_every_nth)
     num_updates = 0
 
-    for i, frame in enumerate(_frame_stream(dataset, prestage_images)):
+    for i, frame in _frame_stream(dataset, prestage_images, start_frame):
         images_subset.append(frame)
         quats_subset.append(quats_c[i])
         trans_subset.append(trans_c[i])
@@ -198,6 +243,8 @@ def _run_incremental_sharded(
     update_every_nth: int,
     on_update: Optional[Callable],
     prestage_images: bool = False,
+    initial_layers: Optional[dict] = None,
+    start_frame: int = 0,
 ):
     """Mesh-sharded incremental driver: one fused ``sharded_map_step`` per
     update. Overflow is accumulated on device and checked once at the end
@@ -216,9 +263,15 @@ def _run_incremental_sharded(
     n_devices = mesh.devices.size
     n_tiles = mesh.shape["tiles"]
     geom_pad, pad_rows = pad_map_geometry(geom, n_tiles)
-    layers = shard_layers(
-        dict(create_map_state(geom_pad).layers), mesh, "tiles"
-    )
+    start = dict(create_map_state(geom_pad).layers)
+    if initial_layers is not None:
+        # resume: splice the saved rows above the fresh southern padding
+        start.update({
+            k: jnp.concatenate([jnp.asarray(v), start[k][geom.height:]])
+            if pad_rows else jnp.asarray(v)
+            for k, v in initial_layers.items()
+        })
+    layers = shard_layers(start, mesh, "tiles")
     quats_c, trans_c = dataset.camera_poses()
     Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
 
@@ -243,8 +296,8 @@ def _run_incremental_sharded(
     timer = StageTimer()
     images_subset = []
     quats_subset, trans_subset = [], []
-    prev: Optional[int] = None
-    prev_stereo = None
+    prev, prev_stereo = _resume_state(dataset, cfg, start_frame,
+                                      update_every_nth)
     num_updates = 0
     total_overflow = None  # device-accumulated; read back once at the end
 
@@ -253,7 +306,7 @@ def _run_incremental_sharded(
             return ls
         return {k: v[: geom.height] for k, v in ls.items()}
 
-    for i, frame in enumerate(_frame_stream(dataset, prestage_images)):
+    for i, frame in _frame_stream(dataset, prestage_images, start_frame):
         images_subset.append(frame)
         quats_subset.append(quats_c[i])
         trans_subset.append(trans_c[i])

@@ -382,6 +382,45 @@ def test_cli_colored_ortho_end_to_end(tmp_path):
     assert np.median(err) < 12.0, np.median(err)
 
 
+def test_cli_incremental_resume_equals_one_run(dataset_dir):
+    """Checkpoint/resume at the driver level: mapping frames 0..3, saving,
+    then resuming from frame 4 onto the saved map must equal the
+    uninterrupted 6-frame run EXACTLY — the saved layers equal the full
+    run's state at the checkpoint, and --start_frame reconstructs the
+    previous-frame pairing chain from the update boundary."""
+    from aerial_mapper_tpu.io.artifacts import load_layers
+
+    grid = ["--center_easting", "12", "--center_northing", "0",
+            "--delta_easting", "30", "--delta_northing", "24",
+            "--resolution", "1.0"]
+    stereo = ["--dense_pcl_use_every_nth_image", "1",
+              "--num_disparities", "32", "--update_every_nth", "2"]
+    full_npz = os.path.join(dataset_dir, "inc_full_run.npz")
+    part_npz = os.path.join(dataset_dir, "inc_part_run.npz")
+    resumed_npz = os.path.join(dataset_dir, "inc_resumed_run.npz")
+
+    main_ortho_backward_grid_incremental.main(
+        ["--data_directory", dataset_dir] + grid + stereo
+        + ["--output_layers_npz", full_npz])
+    main_ortho_backward_grid_incremental.main(
+        ["--data_directory", dataset_dir, "--max_frames", "4"] + grid
+        + stereo + ["--output_layers_npz", part_npz])
+    main_ortho_backward_grid_incremental.main(
+        ["--data_directory", dataset_dir] + grid + stereo
+        + ["--resume_layers_npz", part_npz, "--start_frame", "4",
+           "--output_layers_npz", resumed_npz])
+
+    full, _ = load_layers(full_npz)
+    resumed, _ = load_layers(resumed_npz)
+    for k in ("elevation", "ortho", "elevation_angle",
+              "observation_index", "num_observations"):
+        a, b = resumed[k], full[k]
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=k,
+        )
+
+
 def test_incremental_sharded_colored_ortho(tmp_path):
     """Colored incremental mapping through the fused sharded step: RGB
     subset images ride the replicated band layout (regression: the
