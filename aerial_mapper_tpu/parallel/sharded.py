@@ -47,22 +47,6 @@ from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
 from aerial_mapper_tpu.stereo.batched import PairOperands, process_pairs_batched
 
 
-def _band_geometry(geom: MapGeometry, n_tiles: int, halo: int) -> MapGeometry:
-    """Static geometry of one extended row band (same for every device)."""
-    if geom.height % n_tiles != 0:
-        raise ValueError(
-            f"map height {geom.height} not divisible by {n_tiles} tiles"
-        )
-    band_h = geom.height // n_tiles
-    return MapGeometry(
-        center_easting=geom.center_easting,
-        center_northing=geom.center_northing,  # unused by band ops
-        resolution=geom.resolution,
-        height=band_h + 2 * halo,
-        width=geom.width,
-    )
-
-
 def _dsm_band_update(elevation_band, points, valid, geom, cfg: DsmConfig,
                      axis_name: str):
     """Update one device's elevation row band from the full point set."""
