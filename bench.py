@@ -759,7 +759,9 @@ def main():
     # full incremental driver (host loop included, VERDICT r2 #8) — runs
     # before the per-update latency pair: it is the headline incremental
     # row and completes in ~90 s when the tunnel is healthy
-    res = spawn_dl("inc_full", floor=240.0, retry=True)
+    # no retry -> the single attempt gets the whole remaining window (the
+    # halved first-attempt cap starved this worker's warm-up once)
+    res = spawn_dl("inc_full", floor=240.0)
     if res is not None:
         t_full, n_upd, t_pre = res
         log(f"incremental driver, full {NUM_IMAGES}-image sequence: "
