@@ -203,10 +203,16 @@ def worker_e2e(k: int):
         process_pairs_batched,
     )
 
+    from aerial_mapper_tpu.config import SgmConfig
+
     (cam, scene, Rs, ts, images, geom, ce, cn, elevation, layers, quats,
      ts_j) = _build_workload()
     ortho_cfg = OrthoBackwardGridConfig()
     bm_cfg = BlockMatchingConfig(num_disparities=NUM_DISP)
+    # BENCH_E2E_MATCHER=sgm runs the reference's SGBM default config
+    # (common.h:85-96) through the same end-to-end step
+    matcher = os.environ.get("BENCH_E2E_MATCHER", "bm")
+    sgm_cfg = SgmConfig(num_disparities=NUM_DISP)
     dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
     # The uint8 stack is fastest for the standalone ortho program (the
     # texel gather fetches 1-byte texels), but as an operand of THIS
@@ -238,7 +244,8 @@ def worker_e2e(k: int):
             o = o._replace(image1=o.image1.astype(jnp.uint8),
                            image2=o.image2.astype(jnp.uint8))
         pts, intens, valid = process_pairs_batched(
-            o, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1
+            o, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
+            batch_chunk=1
         )
         p = pts.reshape(-1, 3)
         v = valid.reshape(-1)
@@ -262,7 +269,8 @@ def worker_e2e(k: int):
 
     # one-time (untimed) DSM coverage of the TPU path at bench scale
     pts, _i, valid = process_pairs_batched(
-        ops, cam, matcher="bm", bm_cfg=bm_cfg, batch_chunk=1)
+        ops, cam, matcher=matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
+        batch_chunk=1)
     p = pts.reshape(-1, 3)
     _vals, hit = idw_to_grid(
         p[:, :2], p[:, 2], valid.reshape(-1), geom, dsm_cfg.bin_capacity,
