@@ -99,6 +99,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Shard map rasters (and the incremental fused "
                         "step) over all visible devices; --no-auto_shard "
                         "forces the single-device path.")
+    p.add_argument("--kernel_family", default="xla",
+                   choices=["xla", "pallas"],
+                   help="Compute-kernel family for every stage that has "
+                        "both formulations: stereo matchers (BM/SGM), "
+                        "binned IDW, and the ortho score pass. 'xla' is "
+                        "the portable default; 'pallas' selects the fused "
+                        "VMEM-resident kernels (production-TPU path, "
+                        "interpret mode on CPU — see the per-config "
+                        "kernel field docstrings for the documented "
+                        "BM acceptance-set deviations).")
     return p
 
 
@@ -191,14 +201,18 @@ def pipeline_config_from_args(args) -> PipelineConfig:
                                          False),
         matcher="bm" if getattr(args, "use_BM", True) else "sgm",
     )
+    kernel = getattr(args, "kernel_family", "xla")
     bm = BlockMatchingConfig(
-        num_disparities=getattr(args, "num_disparities", 80))
-    sgm = SgmConfig(num_disparities=getattr(args, "num_disparities", 80))
+        num_disparities=getattr(args, "num_disparities", 80),
+        kernel=kernel)
+    sgm = SgmConfig(num_disparities=getattr(args, "num_disparities", 80),
+                    kernel=kernel)
     dsm = DsmConfig(
         interpolation_radius_sq=getattr(args, "interpolation_radius", 1.0),
         adaptive_interpolation=getattr(args, "adaptive_interpolation", True),
         center_easting=grid.center_easting,
         center_northing=grid.center_northing,
+        idw_kernel=kernel,
     )
     ortho_backward = OrthoBackwardGridConfig(
         orthomosaic_elevation_m=getattr(
@@ -206,6 +220,7 @@ def pipeline_config_from_args(args) -> PipelineConfig:
         use_digital_elevation_map=getattr(
             args, "use_digital_elevation_map", True),
         colored_ortho=getattr(args, "colored_ortho", False),
+        score_kernel=kernel,
     )
     ortho_homography = OrthoHomographyConfig(
         ground_plane_elevation_m=getattr(

@@ -106,6 +106,15 @@ class BlockMatchingConfig:
     # runs the whole [D, H, W] cost volume in int16 — half the HBM bytes
     # of float32. False keeps the earlier float cost volume.
     integer_costs: bool = True
+    # "xla" (portable default) or "pallas" (fused VMEM-resident matcher,
+    # stereo/pallas_bm.py — the cost volume never touches HBM). Identical
+    # border masking, WTA, sub-pixel, texture, and speckle semantics;
+    # deviations in the acceptance set only: a conservative running
+    # uniqueness runner-up, and NO left-right check (disp_12_max_diff is
+    # ignored) — exact XLA parity under uniqueness_ratio=0 +
+    # disp_12_max_diff<0. Not compilable through the axon remote tunnel
+    # (CLAUDE.md Pallas policy); interpret mode runs it on CPU.
+    kernel: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -682,6 +682,9 @@ def _map_step_body(
     r_valid = jax.lax.all_gather(r_valid, pairs_axis, tiled=True)
     r_rank = jax.lax.all_gather(r_rank, pairs_axis, tiled=True)
     overflow = jax.lax.psum(jax.lax.psum(overflow, tiles_axis), pairs_axis)
+    # scale-out diagnostic: valid points this tile actually received
+    # (identical across the pairs replicas after the all_gather)
+    routed = jnp.sum(r_valid.astype(jnp.int32))[None]
 
     # 4) tile-sharded DSM band update from routed points + halo strips
     layers = dict(layers)
@@ -723,7 +726,7 @@ def _map_step_body(
         layers, quats_m, ts_m, imgs_m, geom, cam, ortho_cfg,
         row_offset=row0.astype(jnp.float32), image_ids=ids_m,
     )
-    return layers, overflow, elev_lo, elev_hi
+    return layers, overflow, elev_lo, elev_hi, routed
 
 
 class StepDiagnostics(NamedTuple):
@@ -734,11 +737,15 @@ class StepDiagnostics(NamedTuple):
     elevation range the ortho pass read (+/-inf on an all-NaN map) — the
     caller of a slab-culled ``band_image_operands`` must verify it lies
     inside the [elev_min, elev_max] slab the cull was built with, or the
-    bit-identical-to-single-device invariant is void (ADVICE r2)."""
+    bit-identical-to-single-device invariant is void (ADVICE r2).
+    ``routed``: [n_tiles] int32 valid points each tile received from the
+    routing — the scale-out evidence (sums to the global valid cloud when
+    overflow is 0)."""
 
     overflow: jax.Array  # int32 scalar
     elev_min: jax.Array  # float32 scalar
     elev_max: jax.Array  # float32 scalar
+    routed: jax.Array | None = None  # [n_tiles] int32
 
     def check(self, slab_min=None, slab_max=None):
         """Host-side validation (reads back three scalars); raises on
@@ -841,13 +848,13 @@ def sharded_map_step(
         ),
         mesh=mesh,
         in_specs=(layer_spec, pair_spec) + band_specs,
-        out_specs=(layer_spec, P(), P(), P()),
+        out_specs=(layer_spec, P(), P(), P(), P(tiles_axis)),
         check_vma=False,
     )
-    out, overflow, elev_lo, elev_hi = fn(
+    out, overflow, elev_lo, elev_hi, routed = fn(
         layers, ops, banded.images, banded.quats, banded.ts, banded.ids
     )
-    return out, StepDiagnostics(overflow, elev_lo, elev_hi)
+    return out, StepDiagnostics(overflow, elev_lo, elev_hi, routed)
 
 
 def _homography_shard_body(images, quats, ts, valid, cam, cfg,

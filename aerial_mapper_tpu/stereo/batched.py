@@ -121,7 +121,21 @@ def _process_one_pair(op, cam: Camera, matcher: str, bm_cfg, sgm_cfg):
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     mask = point_in_quad(u, v, corners)
     if matcher == "bm":
-        disp = block_matching_disparity(rect1, rect2, mask, bm_cfg)
+        if bm_cfg.kernel == "pallas":
+            from aerial_mapper_tpu.stereo.pallas_bm import (
+                block_matching_disparity_pallas,
+            )
+
+            disp = block_matching_disparity_pallas(
+                rect1, rect2, mask, bm_cfg,
+                interpret=jax.default_backend() == "cpu",
+            )
+        elif bm_cfg.kernel == "xla":
+            disp = block_matching_disparity(rect1, rect2, mask, bm_cfg)
+        else:
+            raise ValueError(
+                f"bm kernel must be 'xla' or 'pallas', got {bm_cfg.kernel!r}"
+            )
     elif sgm_cfg.kernel == "pallas":
         from aerial_mapper_tpu.stereo.pallas_sgm import sgm_disparity_pallas
 

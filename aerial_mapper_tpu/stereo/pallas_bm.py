@@ -13,15 +13,24 @@ the right strip shifted by d (a static-size dynamic slice of a D-padded
 strip), then a separable box sum via cumulative sums — all VPU ops on
 [tile_h, W]-shaped blocks.
 
-Semantics vs the XLA path: identical WTA + parabolic sub-pixel; the
-uniqueness runner-up is a *running* minimum over costs farther than +-1
-from the argmin at insertion time, which can only under-estimate the true
-runner-up (strictly more conservative rejection). The left-right check is
-not applied in this path (uniqueness + texture + speckle remain).
+Semantics vs the XLA path: identical border masking, WTA tie-break,
+parabolic sub-pixel (same interior-index gate and _BIG neighbor
+sentinels), texture threshold, and speckle filter — bit-identical
+disparities wherever BOTH paths accept a pixel, and bit-identical
+rasters end-to-end under ``uniqueness_ratio=0`` + ``disp_12_max_diff<0``
+(asserted by tests/test_pallas_bm.py and the dryrun matcher-family flip).
+Two documented deviations in the ACCEPTANCE set only: the uniqueness
+runner-up is a *running* minimum over costs farther than +-1 from the
+argmin at insertion time, which can only under-estimate the true
+runner-up (strictly more conservative rejection), and the left-right
+check is not applied (it needs the full cost volume this kernel exists
+to avoid; ``disp_12_max_diff`` is ignored).
 
 ``block_matching_disparity_pallas`` reuses the XLA implementation's
 prefilter and post-filters, so it is a drop-in alternative to
-``block_matching_disparity``; set ``interpret=True`` to run it on CPU.
+``block_matching_disparity`` — production-selectable via
+``BlockMatchingConfig.kernel = "pallas"`` (dispatched in
+stereo/batched.py); set ``interpret=True`` to run it on CPU.
 """
 
 from __future__ import annotations
@@ -52,9 +61,15 @@ def _bm_kernel(lf_ref, rf_ref, out_disp, out_c0, out_cm, out_cp,
     r = block // 2
     lpad = num_disp - 1 + min_disp
 
-    # left window strip is the same for every d (ref-level slicing: value
-    # dynamic_slice has no Pallas TPU lowering)
-    ls = lf_ref[0, :, pl.ds(lpad, width + 2 * r)]
+    # the left image's REAL columns (strip rows carry the vertical edge
+    # halo; vertical image-edge replication commutes with the rowwise AD,
+    # so it reproduces the XLA path's AD row replication for free)
+    ls = lf_ref[0, :, pl.ds(lpad + r, width)]  # [tile_h + 2r, W]
+    # column iotas: AD-level (strip rows) and cost-level (tile rows). A
+    # candidate d exists at column u only when the shifted right pixel
+    # u - (min_disp + d) is a real pixel — the XLA _border_mask rule.
+    u_ad = jax.lax.broadcasted_iota(jnp.float32, (tile_h + 2 * r, width), 1)
+    u_col = jax.lax.broadcasted_iota(jnp.float32, (tile_h, width), 1)
 
     def boxsum(ad):
         # separable (2r+1)^2 window sum as unrolled shifted adds (cumsum
@@ -71,8 +86,21 @@ def _bm_kernel(lf_ref, rf_ref, out_disp, out_c0, out_cm, out_cp,
 
     def body(d, carry):
         best, bestd, cm, cp, prev_cost, runner = carry
-        rs = rf_ref[0, :, pl.ds(num_disp - 1 - d, width + 2 * r)]
-        cost = boxsum(jnp.abs(ls - rs))
+        # right image aligned to left columns: rs[:, u] = rf[u - min_disp - d]
+        rs = rf_ref[0, :, pl.ds(num_disp - 1 - d + r, width)]
+        # XLA-exact absolute differences: out-of-range shifts are 0-filled
+        # (_shifted_right fill=0 -> ad = |lf - 0| = lf, prefilter output is
+        # nonnegative), then the AD — not the images — is edge-replicated
+        # horizontally before the window sum (matching _box_filter's edge
+        # padding), so window sums are bit-identical to the XLA cost
+        # volume at every column including the borders.
+        ad = jnp.where(u_ad >= (d + min_disp), jnp.abs(ls - rs), ls)
+        ad = jnp.concatenate(
+            [jnp.broadcast_to(ad[:, :1], (tile_h + 2 * r, r)), ad,
+             jnp.broadcast_to(ad[:, -1:], (tile_h + 2 * r, r))], axis=1,
+        )
+        cost = boxsum(ad)
+        cost = jnp.where(u_col >= (d + min_disp), cost, _BIG)
 
         is_better = cost < best
         # running runner-up outside +-1 of the argmin at insertion time
@@ -183,18 +211,22 @@ def block_matching_disparity_pallas(
 
     disp_i, c0, cm, cp, runner = [o[:h] for o in outs]
 
-    # sub-pixel refinement (matching matching.py::_wta_subpixel)
+    # sub-pixel refinement (matching matching.py::_wta_subpixel): the
+    # parabolic delta applies only at interior winner INDICES, exactly the
+    # XLA path's gate — masked-neighbor costs already carry the same _BIG
+    # sentinel as the XLA volume, so delta values agree bit-for-bit.
     denom = cm - 2.0 * c0 + cp
     delta = jnp.where(jnp.abs(denom) > 1e-9, (cm - cp) / (2.0 * denom), 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    has_nb = (cm < _BIG) & (cp < _BIG)
-    disp = disp_i + jnp.where(has_nb, delta, 0.0)
+    best_idx = disp_i - cfg.min_disparity  # integer winner index as float
+    interior = (best_idx > 0.0) & (best_idx < d_num - 1.0)
+    disp = disp_i + jnp.where(interior, delta, 0.0)
 
     valid = runner >= c0 * (1.0 + cfg.uniqueness_ratio / 100.0)
     texture = _box_filter(jnp.abs(lf - cfg.pre_filter_cap), block)
     valid &= texture >= cfg.texture_threshold * block
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    valid &= (u - disp) >= 0.0  # right pixel exists
+    valid &= u >= cfg.min_disparity  # some candidate exists (= any(border))
     valid &= mask
     valid = apply_speckle_filter(disp, valid, cfg)
     return jnp.where(valid, disp, INVALID_DISPARITY)

@@ -77,6 +77,72 @@ def test_pallas_bm_integer_costs_guard_parity():
             f"block={cfg.block_size} median {np.median(err)}"
 
 
+def test_pallas_bm_exact_parity_acceptance_config():
+    """VERDICT r3 #2: with uniqueness and LR disabled (the two documented
+    acceptance-set deviations, pallas_bm.py docstring) the fused kernel is
+    EXACTLY the XLA matcher on the integer-cost path — identical border
+    masking, winners, texture, speckle, and validity; sub-pixel deltas
+    agree to float-division rounding (~2e-6 px, XLA fuses the parabolic
+    division differently)."""
+    rect = rendered_rect_pair()
+    cfg = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+                              disp_12_max_diff=-1)
+    d_ref = np.asarray(
+        block_matching_disparity(rect.image_left, rect.image_right,
+                                 rect.mask, cfg)
+    )
+    d_pal = np.asarray(
+        block_matching_disparity_pallas(
+            rect.image_left, rect.image_right, rect.mask, cfg,
+            tile_h=48, interpret=True,
+        )
+    )
+    # identical validity decisions everywhere (borders included)
+    np.testing.assert_array_equal(d_ref > 1.0, d_pal > 1.0)
+    np.testing.assert_allclose(d_ref, d_pal, atol=1e-5)
+    # and integer winners agree exactly (only sub-pixel rounding differs)
+    assert (np.abs(d_ref - d_pal) < 0.01).all()
+
+
+def test_pallas_bm_selectable_via_config():
+    """BlockMatchingConfig.kernel='pallas' reaches the fused kernel from
+    the production pair driver (stereo/batched.py dispatch) — same
+    triangulated output as calling the kernel directly."""
+    from aerial_mapper_tpu.stereo.batched import (
+        prepare_pair_operands,
+        process_pairs_batched,
+    )
+
+    Rs, ts = make_survey_poses(3, altitude=514.0, spacing=6.0)
+    images = [
+        render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                     jnp.asarray(t, jnp.float32))
+        for R, t in zip(Rs, ts)
+    ]
+    ops = prepare_pair_operands(CAM.K, np.asarray(Rs), np.asarray(ts),
+                                images)
+    cfg_pal = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+                                  disp_12_max_diff=-1, kernel="pallas")
+    cfg_xla = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+                                  disp_12_max_diff=-1, kernel="xla")
+    pts_p, _i, valid_p = process_pairs_batched(
+        ops, CAM, matcher="bm", bm_cfg=cfg_pal, batch_chunk=1)
+    pts_x, _i, valid_x = process_pairs_batched(
+        ops, CAM, matcher="bm", bm_cfg=cfg_xla, batch_chunk=1)
+    np.testing.assert_array_equal(np.asarray(valid_p), np.asarray(valid_x))
+    v = np.asarray(valid_x)
+    assert v.mean() > 0.2
+    np.testing.assert_allclose(
+        np.asarray(pts_p)[v], np.asarray(pts_x)[v], atol=1e-3)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bm kernel"):
+        process_pairs_batched(
+            ops, CAM, matcher="bm",
+            bm_cfg=BlockMatchingConfig(kernel="mosaiq"), batch_chunk=1)
+
+
 def test_pallas_bm_height_not_multiple_of_tile():
     rect = rendered_rect_pair()
     cfg = BlockMatchingConfig(num_disparities=32)
