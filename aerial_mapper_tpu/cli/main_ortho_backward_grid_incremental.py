@@ -41,6 +41,21 @@ def main(argv=None):
                         "--resume_layers_npz: the frame right after the "
                         "checkpointed run's last map update; must be a "
                         "multiple of --update_every_nth).")
+    p.add_argument("--band_cull", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Sharded mode: cull each row band's image subset "
+                        "against the slab-tracked elevation range so "
+                        "per-device image bytes shrink with the mesh "
+                        "(validated per window; violations replay "
+                        "exactly). --no-band_cull broadcasts the full "
+                        "subset to every band.")
+    p.add_argument("--check_every", type=int, default=8,
+                   help="Sharded mode: validation window in map updates "
+                        "(one device readback per window checks routing "
+                        "overflow + the cull slab).")
+    p.add_argument("--slab_margin", type=float, default=20.0,
+                   help="Meters added around the measured elevation range "
+                        "to form the next window's cull slab.")
     args = common.parse(p, _strip_prefix(argv))
 
     import os
@@ -88,7 +103,8 @@ def main(argv=None):
     layers, geom = run_incremental(
         dataset, cfg, update_every_nth=args.update_every_nth,
         on_update=on_update, initial_layers=initial_layers,
-        start_frame=args.start_frame,
+        start_frame=args.start_frame, cull_images=args.band_cull,
+        check_every=args.check_every, slab_margin_m=args.slab_margin,
     )
     save_image(args.orthomosaic_jpg_filename, np.asarray(layers["ortho"]))
     if args.output_layers_npz:

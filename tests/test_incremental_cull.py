@@ -1,0 +1,153 @@
+"""Slab-tracked band culling + recovery in the sharded incremental driver
+(VERDICT r3 #1/#4): per-band image subsets must actually shrink, results
+must stay bit-identical to the single-device driver, and both failure
+paths (cull-slab violation, routing overflow) must recover exactly via
+window replay."""
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.camera.rig import CameraRig
+from aerial_mapper_tpu.config import (
+    BlockMatchingConfig,
+    DsmConfig,
+    GridMapConfig,
+    PipelineConfig,
+)
+from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+from aerial_mapper_tpu.pipeline.dataset import Dataset
+from aerial_mapper_tpu.pipeline.incremental import run_incremental
+from aerial_mapper_tpu.synth import (
+    SyntheticScene,
+    make_survey_poses,
+    render_image,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+_LAYER_KEYS = ("elevation", "ortho", "elevation_angle",
+               "observation_index", "num_observations")
+
+
+@pytest.fixture(scope="module")
+def survey_dataset():
+    """North-flying survey whose footprints outspan single row bands (the
+    dryrun geometry): every post-slab cull produces strictly smaller
+    per-band subsets on the (1, 8) mesh."""
+    cam = Camera(fx=96.0, fy=96.0, cx=48.0, cy=24.0, width=96, height=48)
+    scene = SyntheticScene(base_elevation=414.0, relief_amplitude=4.0)
+    n = 9
+    Rs, ts = make_survey_poses(n, altitude=454.0, spacing=3.0,
+                               num_lines=n, line_spacing=3.0)
+    images = [
+        np.asarray(render_image(scene, cam, jnp.asarray(R, jnp.float32),
+                                jnp.asarray(t, jnp.float32)))
+        for R, t in zip(Rs, ts)
+    ]
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
+                       np.float64)
+    rig = CameraRig(cameras=(cam,), T_C_B_quats=np.array([[1.0, 0, 0, 0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    return Dataset(rig=rig, quats_G_B=quats, trans_G_B=np.asarray(ts),
+                   images=images)
+
+
+def _cfg():
+    return PipelineConfig(
+        grid=GridMapConfig(center_easting=0.0, center_northing=12.0,
+                           delta_easting=48.0, delta_northing=96.0,
+                           resolution=1.0),
+        bm=BlockMatchingConfig(num_disparities=32),
+        dsm=DsmConfig(interpolation_radius_sq=2.0),
+    )
+
+
+def _assert_identical(a_layers, b_layers):
+    for k in _LAYER_KEYS:
+        a, b = np.asarray(a_layers[k]), np.asarray(b_layers[k])
+        np.testing.assert_array_equal(
+            np.where(np.isnan(a), -1.0, a), np.where(np.isnan(b), -1.0, b),
+            err_msg=k,
+        )
+
+
+def _single_device(dataset):
+    layers, _ = run_incremental(
+        dataset, dataclasses.replace(_cfg(), auto_shard=False),
+        update_every_nth=2,
+    )
+    return layers
+
+
+def test_culled_incremental_bit_identical_and_reduces(
+        survey_dataset, monkeypatch):
+    """The flagship claim: with the slab-tracked cull active, per-band
+    image subsets are strictly smaller than the full subset AND the final
+    map is bit-identical to the single-device driver."""
+    from aerial_mapper_tpu.parallel import sharded as sh
+
+    calls = []
+    real = sh.band_image_operands
+
+    def recording(geom, n_tiles, quats, ts, images, cam, **kw):
+        banded = real(geom, n_tiles, quats, ts, images, cam, **kw)
+        calls.append((np.asarray(banded.ids), np.asarray(ts).shape[0]))
+        return banded
+
+    monkeypatch.setattr(sh, "band_image_operands", recording)
+
+    steps = []
+    layers, _ = run_incremental(
+        survey_dataset, _cfg(), update_every_nth=2, check_every=2,
+        on_update=lambda i, ls, g: steps.append(i),
+    )
+    # window 1 (updates 1, 3) ran replicated (no slab yet); windows after
+    # the first validation are culled
+    assert len(calls) >= 2
+    for ids, m in calls:
+        members = (ids >= 0).sum(axis=1)
+        assert ids.shape[0] == 8
+        assert members.max() < m * 8, "cull produced full replication"
+        # strictly smaller than broadcasting the full subset everywhere
+        assert (ids >= 0).sum() < 8 * m
+        assert members.min() < m
+    assert steps == [1, 3, 5, 7]  # deferred callbacks flushed in order
+
+    _assert_identical(layers, _single_device(survey_dataset))
+
+
+def test_slab_violation_replays_exactly(survey_dataset, caplog):
+    """An adversarial NEGATIVE slab margin guarantees every culled window
+    measures an elevation range escaping its slab: the driver must detect
+    it, replay the window with replicated images, and still produce the
+    bit-identical map."""
+    with caplog.at_level(logging.WARNING, logger="aerial_mapper_tpu"):
+        layers, _ = run_incremental(
+            survey_dataset, _cfg(), update_every_nth=2, check_every=2,
+            slab_margin_m=-0.5,
+        )
+    assert any("replaying" in r.message for r in caplog.records), \
+        "violation path never triggered"
+    _assert_identical(layers, _single_device(survey_dataset))
+
+
+def test_overflow_recovery_bit_identical(survey_dataset, caplog):
+    """A deliberately tiny routing capacity must overflow, and the driver
+    must recover by replaying the window with doubled capacity until the
+    routing is lossless — final map bit-identical (VERDICT r3 #4)."""
+    with caplog.at_level(logging.WARNING, logger="aerial_mapper_tpu"):
+        layers, _ = run_incremental(
+            survey_dataset, _cfg(), update_every_nth=2, check_every=2,
+            route_capacity_factor=0.2,
+        )
+    msgs = [r.message for r in caplog.records]
+    assert any("overflow" in m for m in msgs), "overflow path not hit"
+    _assert_identical(layers, _single_device(survey_dataset))
