@@ -31,6 +31,12 @@ def main(argv=None):
                         "the reference's 0.1 Hz grid_map publish loop "
                         "(aerial-mapper-grid-map.cc:51-64).")
     p.add_argument("--preview_dir", default="/tmp/aerial_mapper_preview")
+    p.add_argument("--serve_preview", type=int, default=0, metavar="PORT",
+                   help="Serve --preview_dir over HTTP on this port with "
+                        "an auto-refreshing page (io/preview_server.py) — "
+                        "the live-view analogue of the reference's rviz "
+                        "loop. 0 disables; implies preview dumps every "
+                        "update unless --preview_every_updates is set.")
     p.add_argument("--output_layers_npz", default=None)
     p.add_argument("--resume_layers_npz", default=None,
                    help="Resume mapping onto a previously saved layers "
@@ -67,6 +73,15 @@ def main(argv=None):
 
     dataset = common.dataset_from_args(args)
     cfg = common.pipeline_config_from_args(args)
+
+    preview_http = None
+    if args.serve_preview:
+        from aerial_mapper_tpu.io.preview_server import start_preview_server
+
+        if not args.preview_every_updates:
+            args.preview_every_updates = 1
+        preview_http = start_preview_server(args.preview_dir,
+                                            args.serve_preview)
 
     update_count = [0]
 
@@ -112,6 +127,8 @@ def main(argv=None):
 
         save_layers(args.output_layers_npz,
                     {k: np.asarray(v) for k, v in layers.items()}, geom)
+    if preview_http is not None:
+        preview_http.shutdown()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,107 @@
+"""Live preview HTTP server (io/preview_server.py) — the serving half of
+the reference's rviz publish loop replacement (VERDICT r3 #9)."""
+
+import os
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+from aerial_mapper_tpu.io.preview_server import start_preview_server
+
+
+def _get(url, timeout=5.0):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_preview_server_serves_index_and_files(tmp_path):
+    d = str(tmp_path / "preview")
+    os.makedirs(d)
+    from aerial_mapper_tpu.io.images import save_image
+
+    save_image(os.path.join(d, "ortho_live.png"),
+               np.full((8, 8), 128.0, np.float32))
+    server = start_preview_server(d, port=0)
+    port = server.server_address[1]
+    try:
+        status, headers, body = _get(f"http://localhost:{port}/")
+        assert status == 200
+        assert b"ortho_live.png" in body and b"elevation_live.png" in body
+        status, headers, body = _get(
+            f"http://localhost:{port}/ortho_live.png?12345")
+        assert status == 200
+        assert headers["Content-Type"] == "image/png"
+        assert headers["Cache-Control"] == "no-store"
+        assert body[:4] == b"\x89PNG"
+        # missing file and traversal attempts -> 404
+        for bad in ("/nope.png", "/../conftest.py", "/.hidden",
+                    "/a%2f..%2fb"):
+            try:
+                status, _, _ = _get(f"http://localhost:{port}{bad}")
+            except urllib.error.HTTPError as e:
+                status = e.code
+            assert status == 404, bad
+    finally:
+        server.shutdown()
+
+
+def test_cli_serves_latest_preview_during_run(tmp_path):
+    """--serve_preview serves the growing mosaic WHILE the incremental CLI
+    runs (the reference publishes per update; here a browser would see the
+    same)."""
+    from aerial_mapper_tpu.cli import (
+        main_make_synthetic_dataset,
+        main_ortho_backward_grid_incremental,
+    )
+
+    d = str(tmp_path / "ds")
+    main_make_synthetic_dataset.main([
+        "--output_directory", d, "--num_images", "10",
+        "--image_width", "96", "--image_height", "64",
+        "--focal_length", "96", "--altitude", "454", "--spacing", "5",
+    ])
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+    preview = str(tmp_path / "preview")
+
+    got = {}
+
+    def run():
+        main_ortho_backward_grid_incremental.main([
+            "--data_directory", d, "--prefix_images", "image_",
+            "--center_easting", "12", "--center_northing", "0",
+            "--delta_easting", "30", "--delta_northing", "24",
+            "--num_disparities", "32", "--update_every_nth", "2",
+            "--interpolation_radius", "2.0", "--check_every", "1",
+            "--serve_preview", str(port), "--preview_dir", preview,
+            "--orthomosaic_jpg_filename",
+            str(tmp_path / "ortho_inc.jpg"),
+        ])
+
+    t = threading.Thread(target=run)
+    t.start()
+    try:
+        deadline = time.time() + 240.0
+        while time.time() < deadline and t.is_alive():
+            try:
+                status, headers, body = _get(
+                    f"http://localhost:{port}/ortho_live.png", timeout=2.0)
+                if status == 200 and body[:4] == b"\x89PNG":
+                    got["png"] = body
+                    status, _, page = _get(f"http://localhost:{port}/",
+                                           timeout=2.0)
+                    got["page"] = page
+                    break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                pass
+            time.sleep(0.1)
+    finally:
+        t.join(timeout=300.0)
+    assert not t.is_alive()
+    assert "png" in got, "server never served the live mosaic during the run"
+    assert b"live mapping preview" in got["page"]
