@@ -67,6 +67,27 @@ class CameraRig:
 
         return pose_inverse(self.T_C_B(idx))
 
+    def select(self, idx: int) -> "CameraRig":
+        """A rig with camera ``idx`` promoted to primary (slot 0).
+
+        The pipelines consume ``rig.camera`` / extrinsics slot 0 (the
+        reference demos do the same — every call site passes
+        ``ncameras_->getCamera(kFrameIdx)`` with kFrameIdx = 0, e.g.
+        stereo.cpp:37-40); promoting a camera makes any rig camera usable
+        by every pipeline without threading an index everywhere.
+        """
+        n = len(self.cameras)
+        if not 0 <= idx < n:
+            raise ValueError(f"camera index {idx} out of range ({n} cameras)")
+        if idx == 0:
+            return self
+        order = [idx] + [i for i in range(n) if i != idx]
+        return CameraRig(
+            cameras=tuple(self.cameras[i] for i in order),
+            T_C_B_quats=self.T_C_B_quats[order],
+            T_C_B_trans=self.T_C_B_trans[order],
+        )
+
 
 def _mat_from_yaml(node) -> np.ndarray:
     rows, cols = int(node["rows"]), int(node["cols"])

@@ -77,6 +77,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--image_extension", default=".jpg")
     p.add_argument("--load_colored_images", action=argparse.BooleanOptionalAction)
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--camera_index", type=int, default=0,
+                   help="Rig camera to map with (multi-camera ncamera "
+                        "YAMLs): promoted to the primary slot every "
+                        "pipeline consumes. The reference demos hardcode "
+                        "camera 0 (stereo.cpp:37-40).")
     p.add_argument("--origin", type=float, nargs=3, default=None,
                    metavar=("E", "N", "ALT"),
                    help="Origin subtracted from poses (UTM meters).")
@@ -184,6 +189,7 @@ def dataset_from_args(args) -> Dataset:
         origin=args.origin,
         extension=args.image_extension,
         max_frames=args.max_frames,
+        camera_index=getattr(args, "camera_index", 0),
     )
 
 

@@ -72,8 +72,9 @@ class SgmConfig:
     # common.h:91), negative disables.
     disp_12_max_diff: int = 0
     # "xla" (portable default) or "pallas" (fused VMEM-resident directional
-    # scans, 4 directions; stereo/pallas_sgm.py — opt-in, see ortho
-    # score_kernel note).
+    # scans; supports 4 AND 8 directions like the XLA path —
+    # stereo/pallas_sgm.py:191 handles the sheared diagonals. Opt-in, see
+    # ortho score_kernel note).
     kernel: str = "xla"
     # lax.scan unroll factor for the XLA directional scans: each step's work
     # is a tiny [H, D] carry update, so loop overhead dominates; unrolling

@@ -67,8 +67,13 @@ def load_dataset(
     origin=None,
     extension: str = ".jpg",
     max_frames: Optional[int] = None,
+    camera_index: int = 0,
 ) -> Dataset:
     rig = load_camera_rig(os.path.join(data_directory, filename_camera_rig))
+    if camera_index:
+        # promote the chosen rig camera to primary (every pipeline consumes
+        # slot 0, mirroring the reference's kFrameIdx = 0 call sites)
+        rig = rig.select(camera_index)
     quats, trans, meta = load_poses(
         os.path.join(data_directory, filename_poses), pose_format
     )

@@ -9,10 +9,12 @@ filter (VPU-friendly, static shapes) and aggregate:
 - **BM**: x-Sobel prefilter, SAD winner-take-all + parabolic sub-pixel,
   texture threshold, uniqueness ratio, left-right consistency, windowed
   speckle suppression — the same post-filter suite cv::StereoBM applies.
-- **SGM**: the Hirschmuller semi-global recurrence over 4 scan directions,
-  each expressed as a ``lax.scan`` along the direction with the full
-  perpendicular axis and disparity axis vectorized (SURVEY.md §7.3 "SGBM on
-  TPU"). P1/P2 defaults follow common.h:85-96.
+- **SGM**: the Hirschmuller semi-global recurrence over 4 or 8 scan
+  directions (``SgmConfig.num_directions``; the production default is 8 —
+  cv full-8 parity — with diagonals via modular row-shears + restart
+  flags), each expressed as a ``lax.scan`` along the direction with the
+  full perpendicular axis and disparity axis vectorized (SURVEY.md §7.3
+  "SGBM on TPU"). P1/P2 defaults follow common.h:85-96.
 
 Disparity convention matches OpenCV: d = u_left - u_right >= 0; invalid
 pixels get ``INVALID_DISPARITY`` (the reference masks invalid/out-of-mask
@@ -624,7 +626,8 @@ def sgm_disparity(
     """Semi-global matching disparity (cv::StereoSGBM-equivalent).
 
     BT pixel cost on x-Sobel prefiltered images, block-summed
-    (block_size), aggregated along 4 scan directions, WTA + sub-pixel +
+    (block_size), aggregated along ``cfg.num_directions`` (4 or 8; the
+    production default is 8) scan directions, WTA + sub-pixel +
     uniqueness + mask.
     """
     h, w = left.shape

@@ -270,6 +270,9 @@ def case_speckle():
 
 
 def case_sgm():
+    """SGM matcher cost; MB_NUM_DISP and MB_SGM_DIRS select the config —
+    the production default is 80 disparities x 8 directions
+    (SgmConfig, config.py)."""
     import jax
 
     from aerial_mapper_tpu.config import SgmConfig
@@ -277,7 +280,9 @@ def case_sgm():
 
     cam, ops, jnp = _pair_setup()
     rect1, rect2, mask = _rectified_pair(ops)
-    cfg = SgmConfig(num_disparities=64)
+    d_num = int(os.environ.get("MB_NUM_DISP", "80"))
+    dirs = int(os.environ.get("MB_SGM_DIRS", "8"))
+    cfg = SgmConfig(num_disparities=d_num, num_directions=dirs)
 
     @jax.jit
     def step(x):
@@ -285,7 +290,67 @@ def case_sgm():
         return jnp.sum(d) * 1e-9
 
     ms = slope_ms(step, jnp.float32(0.0), float)
-    print(f"sgm (752x480x64): {ms:.2f} ms/pair")
+    print(f"sgm (752x480x{d_num}, {dirs} dir): {ms:.2f} ms/pair")
+
+
+def case_rectify():
+    """A/B: the pair's two rectification remaps as today (2 gathers of
+    HW indices each) vs ONE combined gather from a stacked [2, H, W, 4]
+    source (same 2*HW total indices; tests whether op count or index
+    count sets the cost — VERDICT r3 #8)."""
+    import jax
+
+    cam, ops, jnp = _pair_setup()
+    img1, img2 = ops.image1[0], ops.image2[0]
+    T1i, T2i = ops.T1_inv[0], ops.T2_inv[0]
+    from aerial_mapper_tpu.stereo.batched import _rectify_one
+
+    @jax.jit
+    def step_sep(x):
+        r1 = _rectify_one(img1.astype(jnp.float32) + x * 1e-30, T1i)
+        r2 = _rectify_one(img2.astype(jnp.float32) + x * 1e-30, T2i)
+        return (jnp.sum(r1) + jnp.sum(r2)) * 1e-9
+
+    h, w = img1.shape
+
+    def coords(T_inv):
+        v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        x = T_inv[0, 0] * u + T_inv[0, 1] * v + T_inv[0, 2]
+        y = T_inv[1, 0] * u + T_inv[1, 1] * v + T_inv[1, 2]
+        z = T_inv[2, 0] * u + T_inv[2, 1] * v + T_inv[2, 2]
+        z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        return x / z, y / z
+
+    @jax.jit
+    def step_fused(x):
+        pair = jnp.stack([img1, img2])  # [2, H, W] uint8
+        right = jnp.roll(pair, -1, axis=2)
+        down = jnp.roll(pair, -1, axis=1)
+        downright = jnp.roll(right, -1, axis=1)
+        quad = jnp.stack([pair, right, down, downright], axis=-1)
+        u1, v1 = coords(T1i + x * 1e-30)
+        u2, v2 = coords(T2i)
+        uu = jnp.stack([u1, u2])
+        vv = jnp.stack([v1, v2])
+        u0 = jnp.floor(uu)
+        v0 = jnp.floor(vv)
+        fu, fv = uu - u0, vv - v0
+        iu0 = jnp.clip(u0.astype(jnp.int32), 0, w - 1)
+        iv0 = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
+        b = jnp.arange(2, dtype=jnp.int32)[:, None, None]
+        q = quad[b, iv0, iu0].astype(jnp.float32)  # ONE gather, 2HW idx
+        top = q[..., 0] * (1.0 - fu) + q[..., 1] * fu
+        bot = q[..., 2] * (1.0 - fu) + q[..., 3] * fu
+        out = top * (1.0 - fv) + bot * fv
+        inside = (uu >= 0) & (vv >= 0) & (uu <= w - 1.0) & (vv <= h - 1.0)
+        out = jnp.where(inside, out, 0.0)
+        return jnp.sum(out) * 1e-9
+
+    ms_sep = slope_ms(step_sep, jnp.float32(0.0), float)
+    ms_fused = slope_ms(step_fused, jnp.float32(0.0), float)
+    print(f"rectify pair: separate {ms_sep:.2f} ms, one combined gather "
+          f"{ms_fused:.2f} ms")
 
 
 def case_stereo_e2e():
@@ -469,6 +534,7 @@ CASES = {
     "idw_stages": case_idw_stages,
     "homog": case_homog,
     "stereo_e2e": case_stereo_e2e,
+    "rectify": case_rectify,
 }
 
 
