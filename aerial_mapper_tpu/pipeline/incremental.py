@@ -449,7 +449,8 @@ def _run_incremental_sharded(
                     ovf = ovf + diag.overflow
                     lo = jnp.minimum(lo, diag.elev_min)
                     hi = jnp.maximum(hi, diag.elev_max)
-                redo_pending.append((i, crop(state_r[0])))
+                if on_update is not None:
+                    redo_pending.append((i, crop(state_r[0])))
             stacked = jnp.stack([ovf.astype(jnp.float32), lo, hi])
             if hasattr(stacked, "addressable_shards"):
                 vals = np.asarray(stacked.addressable_shards[0].data)
@@ -527,7 +528,8 @@ def _run_incremental_sharded(
             (i, list(range(i - len(images_subset) + 1, i + 1)))
         )
         win_culled = win_culled or use_cull
-        pending.append((i, crop(state[0])))
+        if on_update is not None:
+            pending.append((i, crop(state[0])))
         num_updates += 1
         if len(win_records) >= check_every:
             with timer.stage("incremental_validate"):

@@ -46,8 +46,11 @@ NUM_DISP = int(os.environ.get("BENCH_NUM_DISP", "80"))
 # recorded provenance (tools/cpu_baseline.py; numbers + provenance in
 # BASELINE.md "Canonical CPU denominators"). The live same-run pairing is
 # still reported as vs_live_cpu for drift detection.
-CANONICAL_CPU_ORTHO_S = None  # native parFor backward-grid pass, seconds
-CANONICAL_CPU_E2E_S = None  # cv2.StereoBM + native loops e2e, seconds
+# Measured 2026-08-21, idle host (2 cores, loadavg 0.015), median of 7/3
+# runs: ortho 0.240-0.268 s (tight); e2e runs 15.2 (cold first run — what
+# the earlier per-round single-shot denominators were), 9.25, 9.10 s.
+CANONICAL_CPU_ORTHO_S = 0.258  # native parFor backward-grid pass, seconds
+CANONICAL_CPU_E2E_S = 9.251  # cv2.StereoBM + native loops e2e, seconds
 
 
 def log(*args):
