@@ -248,8 +248,13 @@ _WORKER_INCREMENTAL = textwrap.dedent(
         bm=BlockMatchingConfig(num_disparities=16),
         dsm=DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8),
     )
-    # sharded across 2 processes x 2 devices (auto mesh over 4 devices)
-    layers, geom = run_incremental(dataset, cfg, update_every_nth=2)
+    # sharded across 2 processes x 2 devices (auto mesh over 4 devices);
+    # check_every=1 closes a validation window per update, so the
+    # slab-tracked band cull + its one-readback-per-window validation run
+    # on the MULTI-PROCESS mesh too (every rank reads its own replica of
+    # the diagnostics, so the host-side control flow stays in lockstep)
+    layers, geom = run_incremental(dataset, cfg, update_every_nth=2,
+                                   check_every=1)
     # per-rank single-device reference (full local data)
     single, _ = run_incremental(
         dataset, dataclasses.replace(cfg, auto_shard=False),
