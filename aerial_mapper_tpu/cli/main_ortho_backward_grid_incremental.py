@@ -128,7 +128,9 @@ def main(argv=None):
         save_layers(args.output_layers_npz,
                     {k: np.asarray(v) for k, v in layers.items()}, geom)
     if preview_http is not None:
-        preview_http.shutdown()
+        from aerial_mapper_tpu.io.preview_server import stop_preview_server
+
+        stop_preview_server(preview_http)
 
 
 if __name__ == "__main__":

@@ -42,9 +42,18 @@ def load_points(filename: str):
 
 def save_layers(filename: str, layers: Dict[str, np.ndarray],
                 geom: MapGeometry) -> None:
+    # atomic (temp + rename): the live-preview npz is re-written per
+    # update while a resume might read it (np.savez appends .npz to names
+    # without the suffix — keep it on the temp file)
+    import os
+
+    d, base = os.path.split(filename)
+    tmp = os.path.join(d, f".tmp{os.getpid()}_{base}")
+    if not tmp.endswith(".npz"):
+        tmp += ".npz"
     payload = {f"layer_{k}": np.asarray(v) for k, v in layers.items()}
     np.savez_compressed(
-        filename,
+        tmp,
         schema=np.int32(_SCHEMA_LAYERS),
         kind="layers",
         geom=np.asarray(
@@ -54,6 +63,7 @@ def save_layers(filename: str, layers: Dict[str, np.ndarray],
         ),
         **payload,
     )
+    os.replace(tmp, filename)
 
 
 def load_layers(filename: str) -> Tuple[Dict[str, np.ndarray], MapGeometry]:

@@ -84,5 +84,11 @@ def load_images_by_names(
 
 
 def save_image(path: str, array: np.ndarray) -> None:
+    """Write a uint8 image ATOMICALLY (temp file + rename): live-preview
+    consumers (io/preview_server.py) read these paths while the mapping
+    loop rewrites them, and an in-place write would serve torn PNGs."""
     arr = np.clip(np.asarray(array), 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    d, base = os.path.split(path)
+    tmp = os.path.join(d, f".tmp{os.getpid()}_{base}")
+    Image.fromarray(arr).save(tmp)
+    os.replace(tmp, path)

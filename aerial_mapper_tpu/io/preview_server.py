@@ -107,7 +107,7 @@ def start_preview_server(preview_dir: str, port: int = 8099,
                          refresh_seconds: float = 2.0):
     """Serve ``preview_dir`` on ``port`` (0 = ephemeral) from a daemon
     thread; returns the server (its ``.server_address[1]`` is the bound
-    port; call ``.shutdown()`` to stop)."""
+    port; stop with :func:`stop_preview_server`)."""
     os.makedirs(preview_dir, exist_ok=True)
     handler = type(
         "PreviewHandler", (_PreviewHandler,),
@@ -119,3 +119,11 @@ def start_preview_server(preview_dir: str, port: int = 8099,
     logger.info("live preview at http://localhost:%d/ (serving %s)",
                 server.server_address[1], preview_dir)
     return server
+
+
+def stop_preview_server(server) -> None:
+    """Stop serving AND close the listening socket — ``shutdown()`` alone
+    leaves the bound fd open until GC, so a restart on the same port
+    would fail with EADDRINUSE."""
+    server.shutdown()
+    server.server_close()

@@ -381,6 +381,7 @@ def band_image_operands(
     elev_min=None,
     elev_max=None,
     margin_cells: float = 2.0,
+    capacity_multiple: int = 1,
 ) -> BandedImages:
     """Host-side conservative per-band image cull.
 
@@ -401,6 +402,13 @@ def band_image_operands(
     the post-update elevation range in its diagnostics so callers can
     verify; with no trustworthy slab use ``replicated_band_images`` (or
     leave elev_min None here).
+
+    ``capacity_multiple`` rounds the padded per-band capacity m up to a
+    multiple, bucketing the operand SHAPES: m is a compiled shape, so a
+    caller invoking this per update (the incremental driver) would
+    otherwise recompile the fused step whenever the cull tightness
+    changes by one image. Pass ``images`` as host numpy — the layouts are
+    rebuilt here, so a device array would cost a device->host readback.
     """
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
 
@@ -436,6 +444,7 @@ def band_image_operands(
                 members[t].append(i)
 
     m = max(1, max(len(mm) for mm in members))
+    m = -(-m // capacity_multiple) * capacity_multiple
     img_np = np.asarray(images)
     out_imgs = np.zeros((n_tiles, m) + img_np.shape[1:], img_np.dtype)
     out_quats = np.zeros((n_tiles, m, 4), np.float32)

@@ -115,9 +115,11 @@ def test_culled_incremental_bit_identical_and_reduces(
     for ids, m in calls:
         members = (ids >= 0).sum(axis=1)
         assert ids.shape[0] == 8
-        assert members.max() < m * 8, "cull produced full replication"
-        # strictly smaller than broadcasting the full subset everywhere
-        assert (ids >= 0).sum() < 8 * m
+        # total band membership strictly below broadcasting the full
+        # m-image subset to all 8 bands, with whole bands reduced (a band
+        # holding both of a consecutive pair's overlapping footprints is
+        # expected, so members.max() == m is legitimate)
+        assert (ids >= 0).sum() < 8 * m, "cull produced full replication"
         assert members.min() < m
     assert steps == [1, 3, 5, 7]  # deferred callbacks flushed in order
 

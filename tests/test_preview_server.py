@@ -10,7 +10,10 @@ import urllib.request
 
 import numpy as np
 
-from aerial_mapper_tpu.io.preview_server import start_preview_server
+from aerial_mapper_tpu.io.preview_server import (
+    start_preview_server,
+    stop_preview_server,
+)
 
 
 def _get(url, timeout=5.0):
@@ -46,7 +49,10 @@ def test_preview_server_serves_index_and_files(tmp_path):
                 status = e.code
             assert status == 404, bad
     finally:
-        server.shutdown()
+        stop_preview_server(server)
+    # the listening socket is closed too: rebinding the port succeeds
+    s2 = start_preview_server(d, port=port)
+    stop_preview_server(s2)
 
 
 def test_cli_serves_latest_preview_during_run(tmp_path):
