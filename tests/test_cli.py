@@ -497,3 +497,27 @@ def test_gflags_false_negates_default_true_flag(dataset_dir, tmp_path):
         ["--data_directory", "/tmp/x=false", "--prefix_images", "a=true"]))
     assert args2.data_directory == "/tmp/x=false"
     assert args2.prefix_images == "a=true"
+
+
+def test_kernel_family_flag_reaches_every_stage():
+    """--kernel_family pallas selects the fused kernels in EVERY stage
+    config (VERDICT r3 #2: a CLI flag must reach
+    block_matching_disparity_pallas)."""
+    from aerial_mapper_tpu.cli import common
+
+    p = common.base_parser("t")
+    common.add_grid_flags(p)
+    common.add_stereo_flags(p)
+    common.add_dsm_flags(p)
+    args = p.parse_args(["--data_directory", "/nonexistent",
+                         "--kernel_family", "pallas"])
+    cfg = common.pipeline_config_from_args(args)
+    assert cfg.bm.kernel == "pallas"
+    assert cfg.sgm.kernel == "pallas"
+    assert cfg.dsm.idw_kernel == "pallas"
+    assert cfg.ortho_backward.score_kernel == "pallas"
+    # default stays the measured XLA family
+    args = p.parse_args(["--data_directory", "/nonexistent"])
+    cfg = common.pipeline_config_from_args(args)
+    assert (cfg.bm.kernel, cfg.sgm.kernel, cfg.dsm.idw_kernel,
+            cfg.ortho_backward.score_kernel) == ("xla",) * 4

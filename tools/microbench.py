@@ -282,7 +282,9 @@ def case_sgm():
     rect1, rect2, mask = _rectified_pair(ops)
     d_num = int(os.environ.get("MB_NUM_DISP", "80"))
     dirs = int(os.environ.get("MB_SGM_DIRS", "8"))
-    cfg = SgmConfig(num_disparities=d_num, num_directions=dirs)
+    unroll = int(os.environ.get("MB_SGM_UNROLL", "4"))
+    cfg = SgmConfig(num_disparities=d_num, num_directions=dirs,
+                    scan_unroll=unroll)
 
     @jax.jit
     def step(x):
@@ -290,7 +292,8 @@ def case_sgm():
         return jnp.sum(d) * 1e-9
 
     ms = slope_ms(step, jnp.float32(0.0), float)
-    print(f"sgm (752x480x{d_num}, {dirs} dir): {ms:.2f} ms/pair")
+    print(f"sgm (752x480x{d_num}, {dirs} dir, unroll {unroll}): "
+          f"{ms:.2f} ms/pair")
 
 
 def case_rectify():
