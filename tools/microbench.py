@@ -148,7 +148,7 @@ def case_bm():
         return jnp.sum(d) * 1e-9
 
     ms = slope_ms(step, jnp.float32(0.0), float)
-    print(f"bm (752x480x64): {ms:.2f} ms/pair")
+    print(f"bm (752x480x{cfg.num_disparities}): {ms:.2f} ms/pair")
 
 
 def case_bm_stages():
