@@ -23,6 +23,7 @@ from aerial_mapper_tpu.config import (
     OrthoFromPclConfig,
     OrthoHomographyConfig,
     PipelineConfig,
+    PlaneSweepConfig,
     SgmConfig,
     StereoConfig,
 )
@@ -131,6 +132,20 @@ def add_stereo_flags(p: argparse.ArgumentParser):
     p.add_argument("--use_SGM", dest="use_BM", action="store_false")
     p.add_argument("--num_disparities", type=int, default=80)
     p.add_argument("--images_need_undistortion", action=argparse.BooleanOptionalAction)
+    p.add_argument("--densifier", default="stereo",
+                   choices=["stereo", "plane_sweep"],
+                   help="'stereo' = consecutive-pair virtual stereo (the "
+                        "reference's mode); 'plane_sweep' = N-view "
+                        "elevation-plane sweep (quality extension, "
+                        "stereo/plane_sweep.py).")
+    p.add_argument("--ps_z_min", type=float, default=374.0,
+                   help="plane-sweep elevation range lower bound (m)")
+    p.add_argument("--ps_z_max", type=float, default=454.0)
+    p.add_argument("--ps_num_planes", type=int, default=48)
+    p.add_argument("--ps_num_neighbors", type=int, default=2)
+    p.add_argument("--ps_max_cost", type=float, default=1.0e9,
+                   help="reject pixels whose winning photoconsistency "
+                        "cost (mean abs diff, gray levels) exceeds this")
 
 
 def add_dsm_flags(p: argparse.ArgumentParser):
@@ -206,6 +221,14 @@ def pipeline_config_from_args(args) -> PipelineConfig:
         images_need_undistortion=getattr(args, "images_need_undistortion",
                                          False),
         matcher="bm" if getattr(args, "use_BM", True) else "sgm",
+        densifier=getattr(args, "densifier", "stereo"),
+    )
+    plane_sweep = PlaneSweepConfig(
+        z_min=getattr(args, "ps_z_min", 374.0),
+        z_max=getattr(args, "ps_z_max", 454.0),
+        num_planes=getattr(args, "ps_num_planes", 48),
+        num_neighbors=getattr(args, "ps_num_neighbors", 2),
+        max_cost=getattr(args, "ps_max_cost", 1.0e9),
     )
     kernel = getattr(args, "kernel_family", "xla")
     bm = BlockMatchingConfig(
@@ -243,7 +266,8 @@ def pipeline_config_from_args(args) -> PipelineConfig:
     )
     return PipelineConfig(
         auto_shard=getattr(args, "auto_shard", True),
-        grid=grid, stereo=stereo, bm=bm, sgm=sgm, dsm=dsm,
+        grid=grid, stereo=stereo, plane_sweep=plane_sweep,
+        bm=bm, sgm=sgm, dsm=dsm,
         ortho_backward=ortho_backward, ortho_homography=ortho_homography,
         ortho_from_pcl=ortho_from_pcl,
     )

@@ -47,6 +47,10 @@ class StereoConfig:
     images_need_undistortion: bool = False
     # "bm" or "sgm"; the reference defaults to SGBM in code but demos pass BM.
     matcher: str = "bm"
+    # "stereo" (consecutive-pair virtual stereo, the reference's mode) or
+    # "plane_sweep" (N-view elevation-plane sweep, stereo/plane_sweep.py —
+    # opt-in quality extension; configure via PlaneSweepConfig).
+    densifier: str = "stereo"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +120,34 @@ class BlockMatchingConfig:
     # disp_12_max_diff<0. Not compilable through the axon remote tunnel
     # (CLAUDE.md Pallas policy); interpret mode runs it on CPU.
     kernel: str = "xla"
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneSweepConfig:
+    """Plane-sweep multi-view densifier (capability extension; the
+    reference densifies only consecutive rectified pairs,
+    stereo.cpp:149-193). Sweeps ``num_planes`` world-ELEVATION planes in
+    [z_min, z_max] against ``num_neighbors`` views per reference frame —
+    see stereo/plane_sweep.py. An opt-in quality mode: ~M x K x H x W
+    gather cost per reference view vs the BM fast path's 10 ms/pair."""
+
+    z_min: float = 374.0
+    z_max: float = 454.0
+    num_planes: int = 48
+    num_neighbors: int = 2
+    block_size: int = 7
+    # minimum views that must see the point at the winning plane
+    min_views: int = 1
+    # reject pixels whose winning mean-abs-diff cost exceeds this (gray
+    # levels); 1e9 disables
+    max_cost: float = 1.0e9
+    # cv-style uniqueness on the plane axis (%); 0 disables
+    uniqueness_ratio: int = 0
+    # reject pixels whose winner is the FIRST or LAST plane: no parabolic
+    # refinement is possible there and such winners are usually sweep-range
+    # clipping artifacts (set the range generously instead)
+    reject_boundary_planes: bool = True
+    scan_unroll: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,6 +278,7 @@ class PipelineConfig:
     auto_shard: bool = True
     grid: GridMapConfig = GridMapConfig()
     stereo: StereoConfig = StereoConfig()
+    plane_sweep: PlaneSweepConfig = PlaneSweepConfig()
     bm: BlockMatchingConfig = BlockMatchingConfig()
     sgm: SgmConfig = SgmConfig()
     dsm: DsmConfig = DsmConfig()

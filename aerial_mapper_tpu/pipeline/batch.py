@@ -62,6 +62,20 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         from aerial_mapper_tpu.camera.undistort import undistort_image
 
         images = [undistort_image(dataset.rig.camera, im) for im in images]
+    if cfg.stereo.densifier == "plane_sweep":
+        # multi-view plane-sweep densifier (opt-in quality mode; extends
+        # the reference's consecutive-pair stereo to N-view fusion)
+        from aerial_mapper_tpu.stereo.plane_sweep import (
+            process_sequence_plane_sweep,
+        )
+
+        with timer.stage("dense_pcl", work_items=len(images)):
+            points, intens, valid = process_sequence_plane_sweep(
+                images, Rs, trans_c, dataset.rig.camera,
+                cfg=cfg.plane_sweep,
+                use_every_nth=cfg.stereo.use_every_nth_image,
+            )
+        return points.reshape(-1, 3), intens.reshape(-1), valid.reshape(-1)
     import jax
 
     devices = jax.devices()

@@ -521,3 +521,26 @@ def test_kernel_family_flag_reaches_every_stage():
     cfg = common.pipeline_config_from_args(args)
     assert (cfg.bm.kernel, cfg.sgm.kernel, cfg.dsm.idw_kernel,
             cfg.ortho_backward.score_kernel) == ("xla",) * 4
+
+
+def test_cli_dsm_plane_sweep_densifier(dataset_dir):
+    """--densifier plane_sweep drives the DSM CLI end-to-end: the N-view
+    elevation sweep replaces pair stereo and still lands within a cell of
+    the synthetic terrain."""
+    from aerial_mapper_tpu import synth
+
+    tif = os.path.join(dataset_dir, "dsm_ps.tif")
+    main_dsm.main([
+        "--data_directory", dataset_dir, "--prefix_images", "image_",
+    ] + GRID + [
+        "--dense_pcl_use_every_nth_image", "1",
+        "--densifier", "plane_sweep",
+        "--ps_z_min", "399", "--ps_z_max", "429",
+        "--ps_num_planes", "31", "--ps_max_cost", "8.0",
+        "--interpolation_radius", "2.0",
+        "--output_geotiff", tif,
+    ])
+    data, _geo, _epsg = read_geotiff(tif)
+    fin = np.isfinite(data)
+    assert fin.mean() > 0.8
+    assert 405 < np.nanmedian(data) < 425
