@@ -866,6 +866,41 @@ def sharded_map_step(
     return out, StepDiagnostics(overflow, elev_lo, elev_hi, routed)
 
 
+@partial(jax.jit, static_argnames=("cam", "cfg", "mesh", "axis_name"))
+def sharded_plane_sweep(
+    ops,  # PlaneSweepOperands, [B, ...] with B % n_devices == 0
+    cam: Camera,
+    cfg,
+    mesh: Mesh,
+    axis_name: str = "tiles",
+):
+    """Reference-view-data-parallel plane-sweep MVS: the batched operand
+    slots (one reference view + its neighbor stack each,
+    ``prepare_plane_sweep_operands(pad_to_multiple=n_devices)``) shard
+    over every device; each runs the same vmapped sweep and outputs
+    concatenate back in global view order — the multi-view analogue of
+    ``sharded_process_pairs`` (no cross-device exchange is needed at all:
+    a reference view owns its whole neighborhood)."""
+    from aerial_mapper_tpu.stereo.plane_sweep import plane_sweep_batched
+
+    b = ops.ref_images.shape[0]
+    n_dev = mesh.shape[axis_name]
+    if b % n_dev != 0:
+        raise ValueError(
+            f"reference-view batch {b} not divisible by {n_dev} devices; "
+            "pad with prepare_plane_sweep_operands(pad_to_multiple=...)"
+        )
+    dp = P(axis_name)
+    fn = jax.shard_map(
+        lambda o: plane_sweep_batched(o, cam, cfg),
+        mesh=mesh,
+        in_specs=(type(ops)(*([dp] * len(ops))),),
+        out_specs=(dp, dp, dp),
+        check_vma=False,
+    )
+    return fn(ops)
+
+
 def _homography_shard_body(images, quats, ts, valid, cam, cfg,
                            needs_undistortion, axis_name):
     from aerial_mapper_tpu.camera.undistort import undistort_image

@@ -64,17 +64,47 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         images = [undistort_image(dataset.rig.camera, im) for im in images]
     if cfg.stereo.densifier == "plane_sweep":
         # multi-view plane-sweep densifier (opt-in quality mode; extends
-        # the reference's consecutive-pair stereo to N-view fusion)
-        from aerial_mapper_tpu.stereo.plane_sweep import (
-            process_sequence_plane_sweep,
-        )
+        # the reference's consecutive-pair stereo to N-view fusion);
+        # reference views are data-parallel over the mesh when available
+        import jax as _jax
 
-        with timer.stage("dense_pcl", work_items=len(images)):
-            points, intens, valid = process_sequence_plane_sweep(
-                images, Rs, trans_c, dataset.rig.camera,
-                cfg=cfg.plane_sweep,
-                use_every_nth=cfg.stereo.use_every_nth_image,
+        devices = _jax.devices()
+        if cfg.auto_shard and len(devices) > 1:
+            from aerial_mapper_tpu.parallel.mesh import make_mesh
+            from aerial_mapper_tpu.parallel.sharded import (
+                sharded_plane_sweep,
             )
+            from aerial_mapper_tpu.stereo.plane_sweep import (
+                prepare_plane_sweep_operands,
+            )
+
+            ps_ops = prepare_plane_sweep_operands(
+                images, Rs, trans_c, cfg=cfg.plane_sweep,
+                use_every_nth=cfg.stereo.use_every_nth_image,
+                pad_to_multiple=len(devices),
+            )
+            mesh = make_mesh(("tiles",), shape=(len(devices),),
+                             devices=devices)
+            with timer.stage("dense_pcl", work_items=len(images)):
+                points, intens, valid = sharded_plane_sweep(
+                    ps_ops, dataset.rig.camera, cfg.plane_sweep, mesh,
+                )
+            logger.info(
+                "dense_pcl: %d plane-sweep reference views sharded over "
+                "%d devices", int(np.asarray(ps_ops.ref_valid).sum()),
+                len(devices),
+            )
+        else:
+            from aerial_mapper_tpu.stereo.plane_sweep import (
+                process_sequence_plane_sweep,
+            )
+
+            with timer.stage("dense_pcl", work_items=len(images)):
+                points, intens, valid = process_sequence_plane_sweep(
+                    images, Rs, trans_c, dataset.rig.camera,
+                    cfg=cfg.plane_sweep,
+                    use_every_nth=cfg.stereo.use_every_nth_image,
+                )
         return points.reshape(-1, 3), intens.reshape(-1), valid.reshape(-1)
     import jax
 

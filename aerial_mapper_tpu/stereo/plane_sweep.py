@@ -188,6 +188,18 @@ def plane_sweep_elevation(
     )
 
 
+def _neighbor_sets(n: int, idx, num_neighbors: int):
+    """Nearest-in-sequence neighbor views per reference frame."""
+    out = []
+    for ri in idx:
+        nbrs = sorted(
+            (j for j in range(n) if j != ri),
+            key=lambda j: abs(j - ri),
+        )[:num_neighbors]
+        out.append(nbrs)
+    return out
+
+
 def process_sequence_plane_sweep(
     images,
     Rs: np.ndarray,  # [N, 3, 3] camera-to-world
@@ -205,11 +217,7 @@ def process_sequence_plane_sweep(
     idx = list(range(0, n, use_every_nth))
     R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
     all_pts, all_int, all_valid = [], [], []
-    for ri in idx:
-        nbrs = sorted(
-            (j for j in range(n) if j != ri),
-            key=lambda j: abs(j - ri),
-        )[: cfg.num_neighbors]
+    for ri, nbrs in zip(idx, _neighbor_sets(n, idx, cfg.num_neighbors)):
         if not nbrs:
             continue
         res = plane_sweep_elevation(
@@ -228,4 +236,75 @@ def process_sequence_plane_sweep(
         jnp.concatenate(all_pts),
         jnp.concatenate(all_int),
         jnp.concatenate(all_valid),
+    )
+
+
+class PlaneSweepOperands(NamedTuple):
+    """Batched per-reference-view operands ([B, ...]), device-shardable
+    along the leading axis (each slot is one reference view + its
+    neighbor stack)."""
+
+    ref_images: jax.Array  # [B, H, W]
+    R_refs: jax.Array  # [B, 3, 3]
+    t_refs: jax.Array  # [B, 3]
+    nbr_images: jax.Array  # [B, M, H, W]
+    R_cw_nbrs: jax.Array  # [B, M, 3, 3]
+    t_nbrs: jax.Array  # [B, M, 3]
+    ref_valid: jax.Array  # [B] bool (False = padding slot)
+
+
+def prepare_plane_sweep_operands(
+    images,
+    Rs: np.ndarray,
+    ts: np.ndarray,
+    cfg: PlaneSweepConfig = PlaneSweepConfig(),
+    use_every_nth: int = 1,
+    pad_to_multiple: int = 1,
+) -> PlaneSweepOperands:
+    """Host-side: sequence -> batched reference-view operands (padded to
+    a multiple of the device count for sharding; padding slots repeat the
+    last view and carry ref_valid=False)."""
+    n = len(images)
+    idx = list(range(0, n, use_every_nth))
+    nbr_sets = _neighbor_sets(n, idx, cfg.num_neighbors)
+    idx = [ri for ri, nb in zip(idx, nbr_sets) if nb]
+    nbr_sets = [nb for nb in nbr_sets if nb]
+    if not idx:
+        raise ValueError("plane sweep needs at least two frames")
+    m = min(len(s) for s in nbr_sets)
+    nbr_sets = [s[:m] for s in nbr_sets]
+    R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
+    imgs = [np.asarray(im, np.float32) for im in images]
+    b = len(idx)
+    pad = (-b) % pad_to_multiple
+    slots = idx + [idx[-1]] * pad
+    nbrs_all = nbr_sets + [nbr_sets[-1]] * pad
+    return PlaneSweepOperands(
+        ref_images=jnp.asarray(np.stack([imgs[i] for i in slots])),
+        R_refs=jnp.asarray(np.asarray(Rs)[slots], jnp.float32),
+        t_refs=jnp.asarray(np.asarray(ts)[slots], jnp.float32),
+        nbr_images=jnp.asarray(
+            np.stack([np.stack([imgs[j] for j in nb]) for nb in nbrs_all])
+        ),
+        R_cw_nbrs=jnp.asarray(
+            np.stack([R_cw[nb] for nb in nbrs_all]), jnp.float32),
+        t_nbrs=jnp.asarray(
+            np.stack([np.asarray(ts)[nb] for nb in nbrs_all]), jnp.float32),
+        ref_valid=jnp.concatenate(
+            [jnp.ones((b,), bool), jnp.zeros((pad,), bool)]),
+    )
+
+
+@partial(jax.jit, static_argnames=("cam", "cfg"))
+def plane_sweep_batched(ops: PlaneSweepOperands, cam: Camera,
+                        cfg: PlaneSweepConfig = PlaneSweepConfig()):
+    """vmapped sweep over the reference-view batch; returns
+    (points [B, H*W, 3], intensities [B, H*W], valid [B, H*W])."""
+    def one(ref, Rr, tr, nbr, Rcw, tn, ok):
+        res = plane_sweep_elevation(ref, Rr, tr, nbr, Rcw, tn, cam, cfg)
+        return res.points, res.intensities, res.valid & ok
+
+    return jax.vmap(one)(
+        ops.ref_images, ops.R_refs, ops.t_refs, ops.nbr_images,
+        ops.R_cw_nbrs, ops.t_nbrs, ops.ref_valid,
     )

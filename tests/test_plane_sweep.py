@@ -142,3 +142,55 @@ def test_plane_sweep_sequence_neighbors():
     assert v.mean() > 0.7
     z = np.asarray(pts)[:, 2][v]
     assert 404.0 <= np.median(z) <= 424.0
+
+
+def test_sharded_plane_sweep_matches_sequential():
+    """Reference views data-parallel over the 8-device mesh produce the
+    same cloud as the sequential loop (padding slots masked invalid), and
+    the same DSM raster."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
+    from aerial_mapper_tpu.dsm import update_elevation_layer
+    from aerial_mapper_tpu.parallel import make_mesh
+    from aerial_mapper_tpu.parallel.sharded import sharded_plane_sweep
+    from aerial_mapper_tpu.stereo.plane_sweep import (
+        prepare_plane_sweep_operands,
+    )
+
+    Rs, ts, images = _survey(n=5)
+    cfg = PlaneSweepConfig(z_min=399.0, z_max=429.0, num_planes=21,
+                           num_neighbors=2, max_cost=8.0)
+    seq_pts, seq_int, seq_valid = process_sequence_plane_sweep(
+        images, Rs, ts, CAM, cfg=cfg, use_every_nth=1)
+
+    ops = prepare_plane_sweep_operands(images, Rs, ts, cfg=cfg,
+                                       use_every_nth=1, pad_to_multiple=8)
+    mesh = make_mesh(("tiles",))
+    sh_pts, sh_int, sh_valid = sharded_plane_sweep(ops, CAM, cfg, mesh)
+    b_real = 5
+    np.testing.assert_array_equal(
+        np.asarray(sh_valid[:b_real]).reshape(-1), np.asarray(seq_valid))
+    v = np.asarray(seq_valid)
+    np.testing.assert_allclose(
+        np.asarray(sh_pts[:b_real]).reshape(-1, 3)[v],
+        np.asarray(seq_pts)[v], atol=1e-4)
+    # padding slots are fully masked
+    assert not np.asarray(sh_valid[b_real:]).any()
+
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0)
+    geom = MapGeometry(center_easting=16.0, center_northing=0.0,
+                       resolution=1.0, height=48, width=64)
+    base = dict(create_map_state(geom).layers)
+    a = update_elevation_layer(
+        dict(base), sh_pts.reshape(-1, 3), sh_valid.reshape(-1), geom,
+        dsm_cfg)["elevation"]
+    b = update_elevation_layer(
+        dict(base), seq_pts, seq_valid, geom, dsm_cfg)["elevation"]
+    a, b = np.asarray(a), np.asarray(b)
+    both = np.isfinite(a) & np.isfinite(b)
+    assert (np.isfinite(a) == np.isfinite(b)).mean() > 0.999
+    np.testing.assert_allclose(a[both], b[both], atol=1e-3)

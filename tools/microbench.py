@@ -356,6 +356,43 @@ def case_rectify():
           f"{ms_fused:.2f} ms")
 
 
+def case_plane_sweep():
+    """Plane-sweep MVS densifier: one reference view at the bench image
+    scale; MB_PS_PLANES / MB_PS_NEIGHBORS select the sweep size."""
+    import jax
+
+    from aerial_mapper_tpu.config import PlaneSweepConfig
+    from aerial_mapper_tpu.stereo.plane_sweep import plane_sweep_elevation
+
+    import jax.numpy as jnp
+
+    cam, scene, Rs, ts, images, geom, layers, quats = _workload()
+    k = int(os.environ.get("MB_PS_PLANES", "48"))
+    m = int(os.environ.get("MB_PS_NEIGHBORS", "2"))
+    cfg = PlaneSweepConfig(z_min=374.0, z_max=454.0, num_planes=k,
+                           num_neighbors=m)
+    ri = 2
+    nbrs = [ri - 1, ri + 1][:m] if m <= 2 else \
+        [ri - 1, ri + 1, ri - 2, ri + 2][:m]
+    R_cw = np.transpose(np.asarray(Rs), (0, 2, 1))
+    ref = images[ri].astype(jnp.float32)
+    nbr = images[jnp.asarray(nbrs)].astype(jnp.float32)
+
+    @jax.jit
+    def step(x):
+        res = plane_sweep_elevation(
+            ref + x * 1e-30, jnp.asarray(Rs[ri], jnp.float32),
+            jnp.asarray(ts[ri], jnp.float32), nbr,
+            jnp.asarray(R_cw[nbrs], jnp.float32),
+            jnp.asarray(np.asarray(ts)[nbrs], jnp.float32), cam, cfg)
+        return jnp.nansum(res.cost) * 1e-9
+
+    ms = slope_ms(step, jnp.float32(0.0), float, k_small=2, k_large=8,
+                  reps=3)
+    print(f"plane_sweep (752x480, {k} planes x {m} views): "
+          f"{ms:.1f} ms/ref-view")
+
+
 def case_stereo_e2e():
     import jax
 
@@ -538,6 +575,7 @@ CASES = {
     "homog": case_homog,
     "stereo_e2e": case_stereo_e2e,
     "rectify": case_rectify,
+    "plane_sweep": case_plane_sweep,
 }
 
 
