@@ -105,6 +105,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="Shard map rasters (and the incremental fused "
                         "step) over all visible devices; --no-auto_shard "
                         "forces the single-device path.")
+    p.add_argument("--geotiff_compression", default="none",
+                   choices=["none", "deflate"],
+                   help="Compression for every GeoTiff this run writes "
+                        "(deflate = zlib strips, what GDAL's "
+                        "COMPRESS=DEFLATE produces; float DEM tiles "
+                        "typically shrink 2-4x).")
     p.add_argument("--kernel_family", default="xla",
                    choices=["xla", "pallas"],
                    help="Compute-kernel family for every stage that has "
@@ -164,6 +170,10 @@ def parse(p: argparse.ArgumentParser, argv: Optional[List[str]] = None):
     )
     if getattr(args, "profile_dir", None):
         _start_profiler(args.profile_dir)
+    if getattr(args, "geotiff_compression", "none") != "none":
+        from aerial_mapper_tpu.io.geotiff import set_default_compression
+
+        set_default_compression(args.geotiff_compression)
     return args
 
 

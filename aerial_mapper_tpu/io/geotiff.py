@@ -7,18 +7,35 @@ band for real DEM values (the reference quantizes elevation to bytes). The
 reference hardcodes UTM zone 32 north (cc:391-393, 466-471); here the zone
 and hemisphere are parameters, as SURVEY.md's quirk list prescribes.
 
-Files are plain baseline TIFF (little-endian, single strip, uncompressed)
-carrying the three GeoTIFF tags consumed by GIS tools:
-ModelPixelScaleTag (33550), ModelTiepointTag (33922) and
-GeoKeyDirectoryTag (34735) with an EPSG 326xx/327xx projected CRS.
+Files are plain baseline TIFF (little-endian) carrying the three GeoTIFF
+tags consumed by GIS tools: ModelPixelScaleTag (33550), ModelTiepointTag
+(33922) and GeoKeyDirectoryTag (34735) with an EPSG 326xx/327xx projected
+CRS. ``compress="deflate"`` writes zlib-compressed ~1 MB strips
+(Compression=8, what ``gdal_translate -co COMPRESS=DEFLATE`` produces —
+float DEM tiles typically shrink 2-4x); the default stays uncompressed
+single-strip for byte-identical round-trips with earlier artifacts. The
+reader inflates Compression 8 and the legacy 32946 code.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
+
+# process-wide default for every writer call that does not pass
+# ``compress`` explicitly (the CLIs set it from --geotiff_compression)
+DEFAULT_COMPRESSION = "none"
+
+
+def set_default_compression(kind: str) -> None:
+    if kind not in ("none", "deflate"):
+        raise ValueError(f"compression must be 'none' or 'deflate', "
+                         f"got {kind!r}")
+    global DEFAULT_COMPRESSION
+    DEFAULT_COMPRESSION = kind
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
@@ -32,6 +49,56 @@ def _pack_values(ttype: int, values) -> bytes:
     return struct.pack("<" + fmt * len(values), *values)
 
 
+def _predict_encode(rows: np.ndarray, samples: int,
+                    predictor: int) -> np.ndarray:
+    """TIFF Predictor tag (317) encoding of a strip, row-wise.
+
+    2 = horizontal differencing (per sample channel); 3 = floating-point:
+    each row's float32 values split into BIG-endian byte planes, then
+    byte-differenced (TIFF TechNote 3 / what GDAL's PREDICTOR=3 writes).
+    Returns a uint8 array of the strip's encoded bytes.
+    """
+    r = rows.shape[0]
+    if predictor == 2:
+        b = rows.reshape(r, -1).view(np.uint8).reshape(r, -1, samples)
+        out = b.copy()
+        out[:, 1:] = b[:, 1:] - b[:, :-1]  # uint8 wraparound
+        return out.reshape(r, -1)
+    if predictor == 3:
+        be = np.ascontiguousarray(rows.astype(">f4")).view(np.uint8)
+        n = be.shape[1] // 4 if be.ndim == 2 else rows[0].size
+        planes = be.reshape(r, -1, 4).transpose(0, 2, 1).reshape(r, -1)
+        out = planes.copy()
+        out[:, 1:] = planes[:, 1:] - planes[:, :-1]
+        del n
+        return out
+    return rows.reshape(r, -1).view(np.uint8)
+
+
+def _predict_decode(raw: bytes, rows: int, width: int, samples: int,
+                    dtype: np.dtype, predictor: int) -> np.ndarray:
+    """Inverse of :func:`_predict_encode` for one inflated strip; returns
+    a [rows, width*samples] array of ``dtype``."""
+    b = np.frombuffer(raw, np.uint8).reshape(rows, -1)
+    if predictor == 2:
+        if dtype.itemsize != 1:
+            raise ValueError(
+                "Predictor 2 is supported for 8-bit samples only"
+            )
+        acc = np.add.accumulate(
+            b.reshape(rows, -1, samples), axis=1, dtype=np.uint8
+        )
+        return acc.reshape(rows, -1).view(dtype)
+    if predictor == 3:
+        if dtype.kind != "f" or dtype.itemsize != 4:
+            raise ValueError("Predictor 3 requires float32 samples")
+        planes = np.add.accumulate(b, axis=1, dtype=np.uint8)
+        be = planes.reshape(rows, 4, -1).transpose(0, 2, 1).reshape(
+            rows, -1)
+        return np.ascontiguousarray(be).view(">f4").astype(dtype)
+    return b.view(dtype)
+
+
 def write_geotiff(
     filename: str,
     array: np.ndarray,
@@ -40,33 +107,63 @@ def write_geotiff(
     resolution: float,
     utm_zone: int = 32,
     northern_hemisphere: bool = True,
+    compress: Optional[str] = None,
 ) -> None:
     """Write [H, W] (gray/float) or [H, W, 3] (color) as GeoTiff.
 
     dtype uint8 -> byte bands; anything float with a [H, W] shape ->
     float32 band (DEM). Geotransform: pixel (0, 0) upper-left corner at
-    (west, north), square pixels of ``resolution`` meters.
+    (west, north), square pixels of ``resolution`` meters. ``compress``:
+    "none" (single uncompressed strip) or "deflate" (zlib strips of ~1 MB
+    of rows each, Compression=8); None takes the module default
+    (``set_default_compression``).
     """
+    if compress is None:
+        compress = DEFAULT_COMPRESSION
+    if compress not in ("none", "deflate"):
+        raise ValueError(f"compress must be 'none' or 'deflate', "
+                         f"got {compress!r}")
     arr = np.asarray(array)
     if arr.ndim == 2:
         samples = 1
         if arr.dtype == np.uint8:
-            data = arr.tobytes()
+            raw = arr
             bits, sample_format = (8,), (1,)
             photometric = 1
         else:
-            data = arr.astype("<f4").tobytes()
+            raw = arr.astype("<f4")
             bits, sample_format = (32,), (3,)
             photometric = 1
     elif arr.ndim == 3 and arr.shape[2] == 3:
         samples = 3
-        data = np.clip(arr, 0, 255).astype(np.uint8).tobytes()
+        raw = np.clip(arr, 0, 255).astype(np.uint8)
         bits, sample_format = (8, 8, 8), (1, 1, 1)
         photometric = 2
     else:
         raise ValueError(f"Unsupported array shape {arr.shape}")
 
     h, w = arr.shape[:2]
+    row_bytes = w * samples * raw.dtype.itemsize
+    if compress == "deflate":
+        # TIFF predictors make deflate effective: horizontal differencing
+        # (2) for bytes, floating-point byte-plane split + differencing
+        # (3) for float32 — raw float mantissas barely compress, the
+        # plane-split DEM rows shrink several-fold
+        predictor = 3 if raw.dtype.kind == "f" else 2
+        rows_per_strip = max(1, min(h, (1 << 20) // max(row_bytes, 1)))
+        strips = [
+            zlib.compress(
+                _predict_encode(raw[r: r + rows_per_strip], samples,
+                                predictor).tobytes(), 6)
+            for r in range(0, h, rows_per_strip)
+        ]
+        compression_code = 8
+    else:
+        predictor = 1
+        rows_per_strip = h
+        strips = [raw.tobytes()]
+        compression_code = 1
+
     epsg = (32600 if northern_hemisphere else 32700) + utm_zone
     geokeys = (
         1, 1, 0, 3,  # version, revision, minor, number of keys
@@ -77,47 +174,52 @@ def write_geotiff(
     pixel_scale = (float(resolution), float(resolution), 0.0)
     tiepoint = (0.0, 0.0, 0.0, float(west), float(north), 0.0)
 
-    # tag id -> (type, values)
+    # tag id -> (type, values); strip offsets get placeholder values of
+    # the right COUNT so the two-pass layout below is size-stable
+    n_strips = len(strips)
     tags = {
         256: (_TYPE_LONG, (w,)),
         257: (_TYPE_LONG, (h,)),
         258: (_TYPE_SHORT, bits),
-        259: (_TYPE_SHORT, (1,)),  # no compression
+        259: (_TYPE_SHORT, (compression_code,)),
         262: (_TYPE_SHORT, (photometric,)),
-        273: (_TYPE_LONG, None),  # strip offset, patched below
+        273: (_TYPE_LONG, (0,) * n_strips),  # patched after layout
         277: (_TYPE_SHORT, (samples,)),
-        278: (_TYPE_LONG, (h,)),
-        279: (_TYPE_LONG, (len(data),)),
+        278: (_TYPE_LONG, (rows_per_strip,)),
+        279: (_TYPE_LONG, tuple(len(s) for s in strips)),
         284: (_TYPE_SHORT, (1,)),
         339: (_TYPE_SHORT, sample_format),
         33550: (_TYPE_DOUBLE, pixel_scale),
         33922: (_TYPE_DOUBLE, tiepoint),
         34735: (_TYPE_SHORT, geokeys),
     }
+    if predictor != 1:
+        tags[317] = (_TYPE_SHORT, (predictor,))
 
     num_tags = len(tags)
     ifd_offset = 8
     ifd_size = 2 + num_tags * 12 + 4
     extra_offset = ifd_offset + ifd_size
 
-    # lay out out-of-line tag payloads
-    extra_blobs = []
+    # pass 1: lay out out-of-line tag payload POSITIONS (sizes depend only
+    # on counts, which are final)
     extra_pos = {}
     pos = extra_offset
     for tag_id, (ttype, values) in sorted(tags.items()):
-        if values is None:
-            continue
         size = _TAG_SIZES[ttype] * len(values)
         if size > 4:
-            blob = _pack_values(ttype, values)
             extra_pos[tag_id] = pos
-            extra_blobs.append(blob)
-            pos += len(blob)
+            pos += size
     if pos % 2:
         pos += 1
-    strip_offset = pos
-    tags[273] = (_TYPE_LONG, (strip_offset,))
+    data_start = pos
+    offsets = []
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    tags[273] = (_TYPE_LONG, tuple(offsets))
 
+    # pass 2: emit
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_offset)
     out += struct.pack("<H", num_tags)
@@ -131,11 +233,15 @@ def write_geotiff(
             out += struct.pack("<HHII", tag_id, ttype, count,
                                extra_pos[tag_id])
     out += struct.pack("<I", 0)  # next IFD
-    for blob in extra_blobs:
-        out += blob
-    while len(out) < strip_offset:
+    for tag_id in sorted(extra_pos):
+        ttype, values = tags[tag_id]
+        while len(out) < extra_pos[tag_id]:
+            out += b"\x00"
+        out += _pack_values(ttype, values)
+    while len(out) < data_start:
         out += b"\x00"
-    out += data
+    for s in strips:
+        out += s
     with open(filename, "wb") as f:
         f.write(bytes(out))
 
@@ -181,11 +287,12 @@ _TYPE_BYTE = 1
 def read_geotiff(
     filename: str,
 ) -> Tuple[np.ndarray, Tuple[float, float, float], Optional[int]]:
-    """Read an uncompressed GeoTiff/TIFF: either byte order, stripped
-    (single or multi-strip, any RowsPerStrip) or tiled layout, chunky
-    planar config, 8/16-bit unsigned or 32-bit float samples — enough to
-    ingest GDAL/PIL-produced uncompressed tiles, not just this module's
-    own dialect (VERDICT r1 #7; validated against PIL-written files and
+    """Read a GeoTiff/TIFF: either byte order, stripped (single or
+    multi-strip, any RowsPerStrip) or tiled layout, uncompressed or
+    deflate/zlib (Compression 8 + legacy 32946), chunky planar config,
+    8/16-bit unsigned or 32-bit float samples — enough to ingest GDAL/
+    PIL-produced tiles, not just this module's own dialect (VERDICT r1
+    #7; validated against PIL-written files incl. tiff_deflate and
     handcrafted big-endian/tiled fixtures in tests/test_io.py).
 
     Returns (array, (west, north, resolution), epsg or None).
@@ -225,8 +332,13 @@ def read_geotiff(
     samples = tags.get(277, (1,))[0]
     bits = tags[258][0]
     sample_format = tags.get(339, (1,))[0]
-    if tags.get(259, (1,))[0] != 1:
-        raise ValueError("Compressed TIFFs are not supported")
+    compression = tags.get(259, (1,))[0]
+    if compression not in (1, 8, 32946):
+        raise ValueError(
+            f"Unsupported TIFF compression {compression} (uncompressed "
+            "and deflate/zlib are handled)"
+        )
+    inflate = compression in (8, 32946)
     if tags.get(284, (1,))[0] != 1:
         raise ValueError("Planar (non-chunky) TIFFs are not supported")
     if bits == 8 and sample_format in (1, 4):
@@ -241,24 +353,47 @@ def read_geotiff(
         )
 
     if 322 in tags:  # tiled layout
+        if tags.get(317, (1,))[0] != 1:
+            raise ValueError(
+                "Predictor-encoded TILED TIFFs are not supported (this "
+                "module writes predictor strips only)"
+            )
         tw, tl = tags[322][0], tags[323][0]
         offsets, counts = tags[324], tags[325]
         tiles_across = -(-w // tw)
         out = np.zeros((-(-h // tl) * tl, tiles_across * tw, samples), dtype)
         for t, (off, cnt) in enumerate(zip(offsets, counts)):
-            tile = np.frombuffer(buf, dtype, count=tw * tl * samples,
-                                 offset=off).reshape(tl, tw, samples)
+            if inflate:
+                tbuf = zlib.decompress(buf[off: off + cnt])
+                tile = np.frombuffer(tbuf, dtype,
+                                     count=tw * tl * samples)
+            else:
+                tile = np.frombuffer(buf, dtype, count=tw * tl * samples,
+                                     offset=off)
             r, c = (t // tiles_across) * tl, (t % tiles_across) * tw
-            out[r: r + tl, c: c + tw] = tile
-            del cnt
+            out[r: r + tl, c: c + tw] = tile.reshape(tl, tw, samples)
         arr = out[:h, :w]
     else:  # stripped layout
         rows_per_strip = tags.get(278, (h,))[0]
+        predictor = tags.get(317, (1,))[0]
         offsets, counts = tags[273], tags[279]
         rows = []
+        remaining = h
         for off, cnt in zip(offsets, counts):
-            n_el = cnt // bpp
-            rows.append(np.frombuffer(buf, dtype, count=n_el, offset=off))
+            if inflate:
+                sbuf = zlib.decompress(buf[off: off + cnt])
+                if predictor != 1:
+                    n_rows = min(rows_per_strip, remaining)
+                    dec = _predict_decode(sbuf, n_rows, w, samples,
+                                          dtype, predictor)
+                    rows.append(dec.reshape(-1))
+                else:
+                    rows.append(np.frombuffer(sbuf, dtype,
+                                              count=len(sbuf) // bpp))
+            else:
+                rows.append(np.frombuffer(buf, dtype, count=cnt // bpp,
+                                          offset=off))
+            remaining -= rows_per_strip
         flat = np.concatenate(rows)
         # Writers in the wild pad the FINAL strip to full RowsPerStrip
         # (the spec says truncate, but padded files exist — ADVICE r2);

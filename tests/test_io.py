@@ -496,3 +496,72 @@ def test_dem_geotiff_color(tmp_path):
     assert tuple(arr[0, 0]) == (255, 255, 255)  # NaN fill
     expected = apply_palette(elev, "terrain")
     np.testing.assert_array_equal(arr[1:], expected[1:])
+
+
+def test_geotiff_deflate_round_trip(tmp_path):
+    """compress='deflate' (zlib strips, Compression=8): bit-exact float
+    and color round-trips, with real size reduction on smooth DEM data."""
+    from aerial_mapper_tpu.io.geotiff import read_geotiff, write_geotiff
+
+    yy, xx = np.mgrid[0:300, 0:250]
+    dem = (414.0 + 5.0 * np.sin(0.05 * xx) * np.cos(0.04 * yy)).astype(
+        np.float32)
+    p_raw = str(tmp_path / "dem_raw.tif")
+    p_def = str(tmp_path / "dem_def.tif")
+    write_geotiff(p_raw, dem, west=464500.0, north=5272700.0,
+                  resolution=0.5, compress="none")
+    write_geotiff(p_def, dem, west=464500.0, north=5272700.0,
+                  resolution=0.5, compress="deflate")
+    a, geo_a, epsg_a = read_geotiff(p_raw)
+    b, geo_b, epsg_b = read_geotiff(p_def)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, dem)
+    assert geo_a == geo_b and epsg_a == epsg_b == 32632
+    assert os.path.getsize(p_def) < 0.6 * os.path.getsize(p_raw)
+    # external oracle: PIL decodes our deflate + predictor-3 file
+    from PIL import Image
+
+    np.testing.assert_array_equal(np.array(Image.open(p_def)), dem)
+
+    rgb = np.random.default_rng(0).integers(
+        0, 255, (64, 48, 3), dtype=np.uint8)
+    p_rgb = str(tmp_path / "rgb_def.tif")
+    write_geotiff(p_rgb, rgb, west=0.0, north=0.0, resolution=1.0,
+                  compress="deflate")
+    c, _, _ = read_geotiff(p_rgb)
+    np.testing.assert_array_equal(c, rgb)
+
+
+def test_geotiff_reads_pil_deflate(tmp_path):
+    """Foreign deflate TIFFs (PIL's tiff_deflate) read correctly too."""
+    from PIL import Image
+
+    from aerial_mapper_tpu.io.geotiff import read_geotiff
+
+    arr = np.random.default_rng(1).integers(
+        0, 255, (90, 70), dtype=np.uint8)
+    p = str(tmp_path / "pil_deflate.tif")
+    Image.fromarray(arr).save(p, compression="tiff_deflate")
+    got, _, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_geotiff_compression_cli_default(tmp_path):
+    """--geotiff_compression deflate flips the process default used by
+    every writer call that does not pass compress explicitly."""
+    from aerial_mapper_tpu.io import geotiff as G
+
+    dem = np.full((32, 32), 414.0, np.float32)
+    try:
+        G.set_default_compression("deflate")
+        p = str(tmp_path / "default_def.tif")
+        G.write_geotiff(p, dem, west=0.0, north=0.0, resolution=1.0)
+        got, _, _ = G.read_geotiff(p)
+        np.testing.assert_array_equal(got, dem)
+        assert os.path.getsize(p) < dem.nbytes // 2
+    finally:
+        G.set_default_compression("none")
+    import pytest
+
+    with pytest.raises(ValueError, match="compression"):
+        G.set_default_compression("lzw")
