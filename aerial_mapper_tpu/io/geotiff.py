@@ -66,11 +66,9 @@ def _predict_encode(rows: np.ndarray, samples: int,
         return out.reshape(r, -1)
     if predictor == 3:
         be = np.ascontiguousarray(rows.astype(">f4")).view(np.uint8)
-        n = be.shape[1] // 4 if be.ndim == 2 else rows[0].size
         planes = be.reshape(r, -1, 4).transpose(0, 2, 1).reshape(r, -1)
         out = planes.copy()
         out[:, 1:] = planes[:, 1:] - planes[:, :-1]
-        del n
         return out
     return rows.reshape(r, -1).view(np.uint8)
 
@@ -376,14 +374,25 @@ def read_geotiff(
     else:  # stripped layout
         rows_per_strip = tags.get(278, (h,))[0]
         predictor = tags.get(317, (1,))[0]
+        if predictor != 1 and not inflate:
+            # a legal-but-exotic combination we cannot decode faithfully
+            # without the predictor inversion this path only applies to
+            # inflated strips — reject rather than return differenced
+            # garbage
+            raise ValueError(
+                "Predictor-encoded UNCOMPRESSED TIFFs are not supported"
+            )
         offsets, counts = tags[273], tags[279]
         rows = []
-        remaining = h
+        row_bytes = w * samples * bpp
         for off, cnt in zip(offsets, counts):
             if inflate:
                 sbuf = zlib.decompress(buf[off: off + cnt])
                 if predictor != 1:
-                    n_rows = min(rows_per_strip, remaining)
+                    # size the strip from its OWN inflated length (a
+                    # padded final strip decodes fully; the crop to the
+                    # image height happens below like the raw path)
+                    n_rows = len(sbuf) // row_bytes
                     dec = _predict_decode(sbuf, n_rows, w, samples,
                                           dtype, predictor)
                     rows.append(dec.reshape(-1))
@@ -393,7 +402,6 @@ def read_geotiff(
             else:
                 rows.append(np.frombuffer(buf, dtype, count=cnt // bpp,
                                           offset=off))
-            remaining -= rows_per_strip
         flat = np.concatenate(rows)
         # Writers in the wild pad the FINAL strip to full RowsPerStrip
         # (the spec says truncate, but padded files exist — ADVICE r2);

@@ -874,16 +874,17 @@ def sharded_plane_sweep(
     mesh: Mesh,
     axis_name: str = "tiles",
 ):
-    """Reference-view-data-parallel plane-sweep MVS: the batched operand
-    slots (one reference view + its neighbor stack each,
-    ``prepare_plane_sweep_operands(pad_to_multiple=n_devices)``) shard
-    over every device; each runs the same vmapped sweep and outputs
-    concatenate back in global view order — the multi-view analogue of
-    ``sharded_process_pairs`` (no cross-device exchange is needed at all:
-    a reference view owns its whole neighborhood)."""
+    """Reference-view-data-parallel plane-sweep MVS: the batched view
+    SLOTS (``prepare_plane_sweep_operands(pad_to_multiple=n_devices)``)
+    shard over every device; the unique image stack stays replicated
+    (every device may reference any frame through ``view_idx``, and a
+    frame appears once instead of (1+M)x) and each device runs the same
+    vmapped sweep — outputs concatenate back in global view order, the
+    multi-view analogue of ``sharded_process_pairs`` (no cross-device
+    exchange: a reference view owns its whole neighborhood)."""
     from aerial_mapper_tpu.stereo.plane_sweep import plane_sweep_batched
 
-    b = ops.ref_images.shape[0]
+    b = ops.view_idx.shape[0]
     n_dev = mesh.shape[axis_name]
     if b % n_dev != 0:
         raise ValueError(
@@ -891,10 +892,14 @@ def sharded_plane_sweep(
             "pad with prepare_plane_sweep_operands(pad_to_multiple=...)"
         )
     dp = P(axis_name)
+    spec = type(ops)(
+        images=P(), view_idx=dp, R_refs=dp, t_refs=dp,
+        R_cw_nbrs=dp, t_nbrs=dp, ref_valid=dp,
+    )
     fn = jax.shard_map(
         lambda o: plane_sweep_batched(o, cam, cfg),
         mesh=mesh,
-        in_specs=(type(ops)(*([dp] * len(ops))),),
+        in_specs=(spec,),
         out_specs=(dp, dp, dp),
         check_vma=False,
     )

@@ -68,6 +68,14 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         # reference views are data-parallel over the mesh when available
         import jax as _jax
 
+        ps_cam = dataset.rig.camera
+        if cfg.stereo.images_need_undistortion and \
+                ps_cam.dist_kind != "none":
+            # the images were ALREADY undistorted above: sweep with the
+            # pinhole model, or rays get undistorted twice and neighbor
+            # samples land at distorted positions in undistorted images
+            ps_cam = ps_cam._replace(dist_kind="none",
+                                     dist_params=(0.0, 0.0, 0.0, 0.0))
         devices = _jax.devices()
         if cfg.auto_shard and len(devices) > 1:
             from aerial_mapper_tpu.parallel.mesh import make_mesh
@@ -87,7 +95,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
                              devices=devices)
             with timer.stage("dense_pcl", work_items=len(images)):
                 points, intens, valid = sharded_plane_sweep(
-                    ps_ops, dataset.rig.camera, cfg.plane_sweep, mesh,
+                    ps_ops, ps_cam, cfg.plane_sweep, mesh,
                 )
             logger.info(
                 "dense_pcl: %d plane-sweep reference views sharded over "
@@ -101,7 +109,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
 
             with timer.stage("dense_pcl", work_items=len(images)):
                 points, intens, valid = process_sequence_plane_sweep(
-                    images, Rs, trans_c, dataset.rig.camera,
+                    images, Rs, trans_c, ps_cam,
                     cfg=cfg.plane_sweep,
                     use_every_nth=cfg.stereo.use_every_nth_image,
                 )

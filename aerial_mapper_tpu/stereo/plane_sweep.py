@@ -214,6 +214,8 @@ def process_sequence_plane_sweep(
     (stereo.cpp:91-110). Returns (points [P, 3], intensities [P],
     valid [P]) stacked over reference views."""
     n = len(images)
+    if n < 2:
+        raise ValueError("plane sweep needs at least two frames")
     idx = list(range(0, n, use_every_nth))
     R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
     all_pts, all_int, all_valid = [], [], []
@@ -240,14 +242,20 @@ def process_sequence_plane_sweep(
 
 
 class PlaneSweepOperands(NamedTuple):
-    """Batched per-reference-view operands ([B, ...]), device-shardable
-    along the leading axis (each slot is one reference view + its
-    neighbor stack)."""
+    """Batched reference-view operands: ONE unique image stack plus
+    [B]-indexed view assignments — frames are never duplicated into
+    per-slot copies (a [B, M+1, H, W] layout would ship every frame
+    ~(1+M)x over the host link; the stack + index form ships it once,
+    like the pair path's ring layout). The poses ride pre-gathered
+    (tiny), only the images stay indexed. ``view_idx[b] = [ref, nbr_0 ..
+    nbr_{M-1}]``; slot images resolve inside the jit with a device-side
+    take. Images keep their input dtype (uint8 stays uint8 for the
+    cheaper gathers; the sweep upcasts after sampling)."""
 
-    ref_images: jax.Array  # [B, H, W]
+    images: jax.Array  # [N, H, W] unique frames
+    view_idx: jax.Array  # [B, 1 + M] int32: reference + neighbors
     R_refs: jax.Array  # [B, 3, 3]
     t_refs: jax.Array  # [B, 3]
-    nbr_images: jax.Array  # [B, M, H, W]
     R_cw_nbrs: jax.Array  # [B, M, 3, 3]
     t_nbrs: jax.Array  # [B, M, 3]
     ref_valid: jax.Array  # [B] bool (False = padding slot)
@@ -274,18 +282,17 @@ def prepare_plane_sweep_operands(
     m = min(len(s) for s in nbr_sets)
     nbr_sets = [s[:m] for s in nbr_sets]
     R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
-    imgs = [np.asarray(im, np.float32) for im in images]
     b = len(idx)
     pad = (-b) % pad_to_multiple
     slots = idx + [idx[-1]] * pad
     nbrs_all = nbr_sets + [nbr_sets[-1]] * pad
+    view_idx = np.asarray(
+        [[ri] + list(nb) for ri, nb in zip(slots, nbrs_all)], np.int32)
     return PlaneSweepOperands(
-        ref_images=jnp.asarray(np.stack([imgs[i] for i in slots])),
+        images=jnp.stack([jnp.asarray(im) for im in images]),
+        view_idx=jnp.asarray(view_idx),
         R_refs=jnp.asarray(np.asarray(Rs)[slots], jnp.float32),
         t_refs=jnp.asarray(np.asarray(ts)[slots], jnp.float32),
-        nbr_images=jnp.asarray(
-            np.stack([np.stack([imgs[j] for j in nb]) for nb in nbrs_all])
-        ),
         R_cw_nbrs=jnp.asarray(
             np.stack([R_cw[nb] for nb in nbrs_all]), jnp.float32),
         t_nbrs=jnp.asarray(
@@ -299,12 +306,15 @@ def prepare_plane_sweep_operands(
 def plane_sweep_batched(ops: PlaneSweepOperands, cam: Camera,
                         cfg: PlaneSweepConfig = PlaneSweepConfig()):
     """vmapped sweep over the reference-view batch; returns
-    (points [B, H*W, 3], intensities [B, H*W], valid [B, H*W])."""
-    def one(ref, Rr, tr, nbr, Rcw, tn, ok):
-        res = plane_sweep_elevation(ref, Rr, tr, nbr, Rcw, tn, cam, cfg)
+    (points [B, H*W, 3], intensities [B, H*W], valid [B, H*W]). Slot
+    images come from a device-side take of the unique stack."""
+    def one(vidx, Rr, tr, Rcw, tn, ok):
+        frames = jnp.take(ops.images, vidx, axis=0).astype(jnp.float32)
+        res = plane_sweep_elevation(frames[0], Rr, tr, frames[1:],
+                                    Rcw, tn, cam, cfg)
         return res.points, res.intensities, res.valid & ok
 
     return jax.vmap(one)(
-        ops.ref_images, ops.R_refs, ops.t_refs, ops.nbr_images,
+        ops.view_idx, ops.R_refs, ops.t_refs,
         ops.R_cw_nbrs, ops.t_nbrs, ops.ref_valid,
     )

@@ -172,6 +172,19 @@ def test_sharded_plane_sweep_matches_sequential():
     mesh = make_mesh(("tiles",))
     sh_pts, sh_int, sh_valid = sharded_plane_sweep(ops, CAM, cfg, mesh)
     b_real = 5
+
+    # invariant (CLAUDE.md): sharded == the SAME single-device program,
+    # bit-identically — compare against plane_sweep_batched unsharded
+    from aerial_mapper_tpu.stereo.plane_sweep import plane_sweep_batched
+
+    one_pts, one_int, one_valid = plane_sweep_batched(ops, CAM, cfg)
+    np.testing.assert_array_equal(np.asarray(sh_valid),
+                                  np.asarray(one_valid))
+    np.testing.assert_array_equal(np.asarray(sh_pts), np.asarray(one_pts))
+    np.testing.assert_array_equal(np.asarray(sh_int), np.asarray(one_int))
+
+    # the differently-traced per-view sequential path agrees to float
+    # tolerance (vmap reassociates, so bit-equality is not expected here)
     np.testing.assert_array_equal(
         np.asarray(sh_valid[:b_real]).reshape(-1), np.asarray(seq_valid))
     v = np.asarray(seq_valid)
@@ -194,3 +207,48 @@ def test_sharded_plane_sweep_matches_sequential():
     both = np.isfinite(a) & np.isfinite(b)
     assert (np.isfinite(a) == np.isfinite(b)).mean() > 0.999
     np.testing.assert_allclose(a[both], b[both], atol=1e-3)
+
+
+def test_plane_sweep_with_pipeline_undistortion():
+    """--images_need_undistortion + plane_sweep: the pipeline undistorts
+    the images FIRST, so the sweep must run with the pinhole model (a
+    distorted camera here would undistort rays twice and sample neighbors
+    at distorted positions — regression for the round-4 review)."""
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.mapgrid.grid import cell_centers
+    from aerial_mapper_tpu.pipeline.batch import run_dsm
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+
+    cam = Camera(fx=320.0, fy=320.0, cx=160.0, cy=120.0, width=320,
+                 height=240, dist_kind="radial-tangential",
+                 dist_params=(-0.2, 0.05, 1e-4, -1e-4))
+    Rs, ts, images = _survey(cam=cam, apply_distortion=True)
+    rig = CameraRig(cameras=(cam,),
+                    T_C_B_quats=np.array([[1.0, 0, 0, 0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
+                       np.float64)
+    ds = Dataset(rig=rig, quats_G_B=quats, trans_G_B=np.asarray(ts),
+                 images=[np.asarray(im) for im in images])
+    cfg = PipelineConfig(
+        auto_shard=False,
+        grid=GridMapConfig(center_easting=16.0, center_northing=0.0,
+                           delta_easting=50.0, delta_northing=40.0,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1,
+                            densifier="plane_sweep",
+                            images_need_undistortion=True),
+        plane_sweep=PlaneSweepConfig(z_min=399.0, z_max=429.0,
+                                     num_planes=31, num_neighbors=2,
+                                     max_cost=8.0),
+        dsm=DsmConfig(interpolation_radius_sq=2.0),
+    )
+    layers, geom = run_dsm(ds, cfg)
+    elev = np.asarray(layers["elevation"])
+    fin = np.isfinite(elev)
+    assert fin.mean() > 0.8
+    ce, cn = cell_centers(geom)
+    true_h = np.asarray(SCENE.height(ce, cn))
+    rmse = float(np.sqrt(np.mean((elev[fin] - true_h[fin]) ** 2)))
+    assert rmse < 1.0, rmse

@@ -389,7 +389,7 @@ def case_plane_sweep():
 
     ms = slope_ms(step, jnp.float32(0.0), float, k_small=2, k_large=8,
                   reps=3)
-    print(f"plane_sweep (752x480, {k} planes x {m} views): "
+    print(f"plane_sweep (752x480, {k} planes x {len(nbrs)} views): "
           f"{ms:.1f} ms/ref-view")
 
 
