@@ -174,6 +174,13 @@ def run_incremental(
     fair-shares (doubled automatically on each overflow replay until the
     window routes losslessly).
     """
+    if cfg.stereo.densifier != "stereo":
+        raise ValueError(
+            f"the incremental driver streams consecutive-pair virtual "
+            f"stereo (the reference's mapping-on-the-fly contract, "
+            f"stereo.cpp:127-147); densifier={cfg.stereo.densifier!r} is "
+            "available in the batch drivers (run_dsm/run_dense_pcl/...)"
+        )
     geom = MapGeometry.from_config(cfg.grid)
     if initial_layers is not None:
         bad = {

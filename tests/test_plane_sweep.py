@@ -252,3 +252,24 @@ def test_plane_sweep_with_pipeline_undistortion():
     true_h = np.asarray(SCENE.height(ce, cn))
     rmse = float(np.sqrt(np.mean((elev[fin] - true_h[fin]) ** 2)))
     assert rmse < 1.0, rmse
+
+
+def test_incremental_driver_rejects_plane_sweep():
+    """The incremental driver streams pair stereo (the reference's
+    contract); asking it for the plane-sweep densifier raises a clear
+    error instead of silently matching pairs."""
+    import pytest
+
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    rig = CameraRig(cameras=(CAM,),
+                    T_C_B_quats=np.array([[1.0, 0, 0, 0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    ds = Dataset(rig=rig, quats_G_B=np.array([[1.0, 0, 0, 0]]),
+                 trans_G_B=np.zeros((1, 3)),
+                 images=[np.zeros((8, 8), np.float32)])
+    cfg = PipelineConfig(stereo=StereoConfig(densifier="plane_sweep"))
+    with pytest.raises(ValueError, match="batch drivers"):
+        run_incremental(ds, cfg)
