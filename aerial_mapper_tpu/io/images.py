@@ -16,7 +16,7 @@ between the two; JPEG lumas may differ ~1 gray level.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 from PIL import Image

@@ -25,7 +25,7 @@ requires the returned routing ``overflow`` to be 0.
 
 from __future__ import annotations
 
-import math
+
 from functools import partial
 from typing import NamedTuple
 
