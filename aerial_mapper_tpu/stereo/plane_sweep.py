@@ -111,8 +111,10 @@ def plane_sweep_elevation(
                 precision=jax.lax.Precision.HIGHEST,
             )
             uv, vis = project(cam, p_c)
-            samp = bilinear_sample(nbr_images[j].astype(jnp.float32),
-                                   uv[..., 0], uv[..., 1])
+            # sample in the image's OWN dtype: uint8 sources gather
+            # 1-byte texels (~10-35% faster per index, CLAUDE.md);
+            # bilinear_sample's lerp upcasts after the fetch
+            samp = bilinear_sample(nbr_images[j], uv[..., 0], uv[..., 1])
             ad = jnp.abs(ref_f - samp)
             ok = vis & (s > 0)
             total = total + jnp.where(ok, ad, 0.0)
@@ -309,7 +311,9 @@ def plane_sweep_batched(ops: PlaneSweepOperands, cam: Camera,
     (points [B, H*W, 3], intensities [B, H*W], valid [B, H*W]). Slot
     images come from a device-side take of the unique stack."""
     def one(vidx, Rr, tr, Rcw, tn, ok):
-        frames = jnp.take(ops.images, vidx, axis=0).astype(jnp.float32)
+        # frames keep their input dtype: uint8 stays uint8 through the
+        # neighbor gathers (the sweep upcasts after sampling)
+        frames = jnp.take(ops.images, vidx, axis=0)
         res = plane_sweep_elevation(frames[0], Rr, tr, frames[1:],
                                     Rcw, tn, cam, cfg)
         return res.points, res.intensities, res.valid & ok

@@ -375,8 +375,18 @@ def case_plane_sweep():
     nbrs = [ri - 1, ri + 1][:m] if m <= 2 else \
         [ri - 1, ri + 1, ri - 2, ri + 2][:m]
     R_cw = np.transpose(np.asarray(Rs), (0, 2, 1))
-    ref = images[ri].astype(jnp.float32)
-    nbr = images[jnp.asarray(nbrs)].astype(jnp.float32)
+    # float32 operands by default: uint8 PARAMETERS of this large scan
+    # program hit the axon per-call relayout quirk (CLAUDE.md) and measure
+    # WORSE despite the cheaper gathers (295.1 vs 249.3 ms/view A/B'd
+    # round 4); MB_PS_U8=1 selects the uint8 arm. The production batched
+    # path keeps uint8 anyway: it executes ONCE per run, so a single
+    # relayout beats 4x the host-link bytes.
+    if os.environ.get("MB_PS_U8"):
+        ref = images[ri]
+        nbr = images[jnp.asarray(nbrs)]
+    else:
+        ref = images[ri].astype(jnp.float32)
+        nbr = images[jnp.asarray(nbrs)].astype(jnp.float32)
 
     @jax.jit
     def step(x):
