@@ -565,3 +565,88 @@ def test_geotiff_compression_cli_default(tmp_path):
 
     with pytest.raises(ValueError, match="compression"):
         G.set_default_compression("lzw")
+
+
+def test_geotiff_deflate_multi_strip_round_trip(tmp_path):
+    """Data larger than the ~1 MB strip target exercises the multi-strip
+    deflate layout (out-of-line offset/count arrays) and a final partial
+    strip."""
+    from aerial_mapper_tpu.io.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:300, 0:2000]
+    dem = (414.0 + 3.0 * np.sin(0.01 * xx) * np.cos(0.02 * yy)
+           + rng.normal(0, 0.01, (300, 2000))).astype(np.float32)
+    p = str(tmp_path / "big.tif")
+    write_geotiff(p, dem, west=1.0, north=2.0, resolution=0.5,
+                  compress="deflate")
+    # must actually be multi-strip: rows_per_strip = 2^20 // 8000 = 131
+    import struct
+
+    with open(p, "rb") as f:
+        buf = f.read()
+    (n_tags,) = struct.unpack_from("<H", buf, 8)
+    counts = {}
+    for i in range(n_tags):
+        tid, ttype, cnt = struct.unpack_from("<HHI", buf, 10 + i * 12)
+        counts[tid] = cnt
+    assert counts[273] == counts[279] == 3  # 300 rows / 131 per strip
+    got, geo, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, dem)
+    assert geo == (1.0, 2.0, 0.5)
+
+
+def test_geotiff_reads_foreign_padded_deflate_strip(tmp_path):
+    """A foreign deflate+predictor file whose FINAL strip is padded to
+    full RowsPerStrip (spec says truncate; padded writers exist) must
+    decode correctly — the strip sizes itself from its inflated length
+    and the crop drops the padding rows."""
+    import struct
+    import zlib
+
+    from aerial_mapper_tpu.io.geotiff import read_geotiff, write_geotiff
+
+    dem = np.arange(5 * 6, dtype=np.float32).reshape(5, 6) + 414.0
+    # write a single-strip deflate file (carries Predictor=3), then
+    # rebuild it with RowsPerStrip=4 and a PADDED second strip (rows
+    # 4..7, rows 5-7 junk)
+    p0 = str(tmp_path / "base.tif")
+    write_geotiff(p0, dem, west=0.0, north=0.0, resolution=1.0,
+                  compress="deflate")
+    from aerial_mapper_tpu.io.geotiff import _predict_encode
+
+    padded = np.concatenate([dem, np.zeros((3, 6), np.float32)])
+    s0 = zlib.compress(_predict_encode(padded[:4], 1, 3).tobytes())
+    s1 = zlib.compress(_predict_encode(padded[4:8], 1, 3).tobytes())
+    with open(p0, "rb") as f:
+        buf = bytearray(f.read())
+    (n_tags,) = struct.unpack_from("<H", buf, 8)
+    data_start = len(buf)
+    for i in range(n_tags):
+        off = 10 + i * 12
+        tid, ttype, cnt = struct.unpack_from("<HHI", buf, off)
+        if tid == 278:  # rows per strip -> 4
+            struct.pack_into("<I", buf, off + 8, 4)
+        elif tid == 273:
+            off273 = off
+        elif tid == 279:
+            off279 = off
+    # single-strip file: 273/279 are inline LONGs; repoint to 2 strips via
+    # small out-of-line arrays appended at the end
+    arr_off = len(buf)
+    buf += struct.pack("<II", data_start + 0, data_start + 0)  # placeholder
+    cnt_off = len(buf)
+    buf += struct.pack("<II", len(s0), len(s1))
+    strip0_off = len(buf)
+    buf += s0
+    strip1_off = len(buf)
+    buf += s1
+    struct.pack_into("<II", buf, arr_off, strip0_off, strip1_off)
+    struct.pack_into("<HHI I".replace(" ", ""), buf, off273, 273, 4, 2,
+                     arr_off)
+    struct.pack_into("<HHII", buf, off279, 279, 4, 2, cnt_off)
+    p1 = str(tmp_path / "padded.tif")
+    with open(p1, "wb") as f:
+        f.write(bytes(buf))
+    got, _, _ = read_geotiff(p1)
+    np.testing.assert_array_equal(got, dem)
