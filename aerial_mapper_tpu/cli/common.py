@@ -149,6 +149,10 @@ def add_stereo_flags(p: argparse.ArgumentParser):
     p.add_argument("--ps_z_max", type=float, default=454.0)
     p.add_argument("--ps_num_planes", type=int, default=48)
     p.add_argument("--ps_num_neighbors", type=int, default=2)
+    p.add_argument("--ps_neighbor_spacing", type=int, default=1,
+                   help="sequence stride to the neighbor views (wider "
+                        "baselines resolve elevation better on "
+                        "closely-spaced surveys)")
     p.add_argument("--ps_max_cost", type=float, default=1.0e9,
                    help="reject pixels whose winning photoconsistency "
                         "cost (mean abs diff, gray levels) exceeds this")
@@ -238,6 +242,7 @@ def pipeline_config_from_args(args) -> PipelineConfig:
         z_max=getattr(args, "ps_z_max", 454.0),
         num_planes=getattr(args, "ps_num_planes", 48),
         num_neighbors=getattr(args, "ps_num_neighbors", 2),
+        neighbor_spacing=getattr(args, "ps_neighbor_spacing", 1),
         max_cost=getattr(args, "ps_max_cost", 1.0e9),
     )
     kernel = getattr(args, "kernel_family", "xla")

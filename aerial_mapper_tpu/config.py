@@ -135,6 +135,11 @@ class PlaneSweepConfig:
     z_max: float = 454.0
     num_planes: int = 48
     num_neighbors: int = 2
+    # sequence stride between a reference and its neighbor views:
+    # elevation sensitivity is ~ fx * baseline / depth^2 px per meter, so
+    # closely-spaced survey frames need spacing > 1 for the sweep to
+    # resolve height (neighbors picked at ri +- spacing, +- 2*spacing, ...)
+    neighbor_spacing: int = 1
     block_size: int = 7
     # minimum views that must see the point at the winning plane
     min_views: int = 1

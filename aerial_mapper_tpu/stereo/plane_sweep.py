@@ -190,15 +190,20 @@ def plane_sweep_elevation(
     )
 
 
-def _neighbor_sets(n: int, idx, num_neighbors: int):
-    """Nearest-in-sequence neighbor views per reference frame."""
+def _neighbor_sets(n: int, idx, num_neighbors: int, spacing: int = 1):
+    """Neighbor views per reference frame: nearest multiples of
+    ``spacing`` frames away (ri - s, ri + s, ri - 2s, ...), clipped to the
+    sequence. spacing=1 is the plain nearest-in-sequence choice."""
     out = []
     for ri in idx:
-        nbrs = sorted(
-            (j for j in range(n) if j != ri),
-            key=lambda j: abs(j - ri),
-        )[:num_neighbors]
-        out.append(nbrs)
+        cands = []
+        k = 1
+        while len(cands) < num_neighbors and k * spacing < n + spacing:
+            for j in (ri - k * spacing, ri + k * spacing):
+                if 0 <= j < n and j != ri and j not in cands:
+                    cands.append(j)
+            k += 1
+        out.append(cands[:num_neighbors])
     return out
 
 
@@ -221,7 +226,8 @@ def process_sequence_plane_sweep(
     idx = list(range(0, n, use_every_nth))
     R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
     all_pts, all_int, all_valid = [], [], []
-    for ri, nbrs in zip(idx, _neighbor_sets(n, idx, cfg.num_neighbors)):
+    for ri, nbrs in zip(idx, _neighbor_sets(n, idx, cfg.num_neighbors,
+                                         cfg.neighbor_spacing)):
         if not nbrs:
             continue
         res = plane_sweep_elevation(
@@ -276,7 +282,8 @@ def prepare_plane_sweep_operands(
     last view and carry ref_valid=False)."""
     n = len(images)
     idx = list(range(0, n, use_every_nth))
-    nbr_sets = _neighbor_sets(n, idx, cfg.num_neighbors)
+    nbr_sets = _neighbor_sets(n, idx, cfg.num_neighbors,
+                              cfg.neighbor_spacing)
     idx = [ri for ri, nb in zip(idx, nbr_sets) if nb]
     nbr_sets = [nb for nb in nbr_sets if nb]
     if not idx:
