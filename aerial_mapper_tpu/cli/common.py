@@ -156,6 +156,13 @@ def add_stereo_flags(p: argparse.ArgumentParser):
     p.add_argument("--ps_max_cost", type=float, default=1.0e9,
                    help="reject pixels whose winning photoconsistency "
                         "cost (mean abs diff, gray levels) exceeds this")
+    p.add_argument("--stereo_z_min", type=float, default=None,
+                   help="drop triangulated points below this world z "
+                        "(meters) — kills gross-outlier matches; the "
+                        "reference z-filters loaded clouds the same way "
+                        "(z > -100, aerial-mapper-io.cc:309-347). "
+                        "Default keeps everything (reference parity).")
+    p.add_argument("--stereo_z_max", type=float, default=None)
 
 
 def add_dsm_flags(p: argparse.ArgumentParser):
@@ -236,6 +243,8 @@ def pipeline_config_from_args(args) -> PipelineConfig:
                                          False),
         matcher="bm" if getattr(args, "use_BM", True) else "sgm",
         densifier=getattr(args, "densifier", "stereo"),
+        z_min=getattr(args, "stereo_z_min", None),
+        z_max=getattr(args, "stereo_z_max", None),
     )
     plane_sweep = PlaneSweepConfig(
         z_min=getattr(args, "ps_z_min", 374.0),

@@ -51,6 +51,16 @@ class StereoConfig:
     # "plane_sweep" (N-view elevation-plane sweep, stereo/plane_sweep.py —
     # opt-in quality extension; configure via PlaneSweepConfig).
     densifier: str = "stereo"
+    # Optional world-z bounds on TRIANGULATED points (meters): gross
+    # disparity outliers triangulate hundreds of meters off the terrain
+    # and dominate the DSM's squared error (measured: bench-scale DSM
+    # RMSE 27 m from a handful of outliers vs 0.12 m median). The
+    # reference applies exactly this filter to LOADED clouds (z > -100,
+    # aerial-mapper-io.cc:309-347) but not to generated ones; None = keep
+    # everything (reference parity). Applied identically by the batch,
+    # incremental, and fused sharded drivers.
+    z_min: Optional[float] = None
+    z_max: Optional[float] = None
 
 
 @dataclasses.dataclass(frozen=True)

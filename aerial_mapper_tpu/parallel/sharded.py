@@ -663,6 +663,7 @@ def _map_step_body(
     geom: MapGeometry, cam: Camera,
     dsm_cfg: DsmConfig, ortho_cfg: OrthoBackwardGridConfig,
     matcher, bm_cfg, sgm_cfg, pairs_axis, tiles_axis, cap,
+    z_min=None, z_max=None,
 ):
     axes = (pairs_axis, tiles_axis)
     n_tiles = jax.lax.psum(1, tiles_axis)
@@ -672,6 +673,9 @@ def _map_step_body(
     pts, intens, valid = _ring_stereo_local(
         ops, cam, matcher, bm_cfg, sgm_cfg, axes
     )
+    from aerial_mapper_tpu.stereo.batched import filter_points_z
+
+    valid = filter_points_z(pts, valid, z_min, z_max)
     b_loc = ops.frames.shape[0]
     hw = pts.shape[1]
     pts_f = pts.reshape(-1, 3)
@@ -780,7 +784,7 @@ class StepDiagnostics(NamedTuple):
     static_argnames=(
         "geom", "cam", "dsm_cfg", "ortho_cfg", "matcher", "bm_cfg",
         "sgm_cfg", "mesh", "pairs_axis", "tiles_axis",
-        "route_capacity_factor",
+        "route_capacity_factor", "z_min", "z_max",
     ),
 )
 def sharded_map_step(
@@ -798,6 +802,8 @@ def sharded_map_step(
     pairs_axis: str = "pairs",
     tiles_axis: str = "tiles",
     route_capacity_factor: float = 2.0,
+    z_min=None,
+    z_max=None,
 ):
     """One fused multi-chip incremental mapping step. Returns
     ``(layers, StepDiagnostics)``.
@@ -853,7 +859,7 @@ def sharded_map_step(
             _map_step_body, geom=geom, cam=cam, dsm_cfg=dsm_cfg,
             ortho_cfg=ortho_cfg, matcher=matcher, bm_cfg=bm_cfg,
             sgm_cfg=sgm_cfg, pairs_axis=pairs_axis, tiles_axis=tiles_axis,
-            cap=cap,
+            cap=cap, z_min=z_min, z_max=z_max,
         ),
         mesh=mesh,
         in_specs=(layer_spec, pair_spec) + band_specs,

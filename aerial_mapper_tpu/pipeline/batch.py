@@ -157,6 +157,10 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
                 ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
                 bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
             )
+    from aerial_mapper_tpu.stereo.batched import filter_points_z
+
+    valid = filter_points_z(points, valid, cfg.stereo.z_min,
+                            cfg.stereo.z_max)
     return (
         points.reshape(-1, 3),
         intens.reshape(-1),

@@ -243,6 +243,10 @@ def run_incremental(
                     ops, cam, matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
                     sgm_cfg=cfg.sgm, batch_chunk=1,
                 )
+                from aerial_mapper_tpu.stereo.batched import filter_points_z
+
+                valid = filter_points_z(pts, valid, cfg.stereo.z_min,
+                                        cfg.stereo.z_max)
                 layers = update_elevation_layer(
                     layers, pts.reshape(-1, 3), valid.reshape(-1), geom,
                     cfg.dsm,
@@ -395,6 +399,7 @@ def _run_incremental_sharded(
                 cam, cfg.dsm, cfg.ortho_backward, mesh,
                 matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
                 sgm_cfg=cfg.sgm, route_capacity_factor=capacity_factor,
+                z_min=cfg.stereo.z_min, z_max=cfg.stereo.z_max,
             )
         else:
             # first update: no stereo pair exists yet; ortho-only update,

@@ -101,6 +101,20 @@ def prepare_pair_operands(
     )
 
 
+def filter_points_z(points, valid, z_min=None, z_max=None):
+    """Opt-in world-z bounds on triangulated points (StereoConfig.z_min/
+    z_max): gross disparity outliers triangulate far off the terrain and
+    dominate the DSM's squared error; the reference applies the same
+    filter to LOADED clouds (z > -100, aerial-mapper-io.cc:309-347).
+    None bounds keep everything (reference parity for generated clouds).
+    """
+    if z_min is not None:
+        valid = valid & (points[..., 2] >= z_min)
+    if z_max is not None:
+        valid = valid & (points[..., 2] <= z_max)
+    return valid
+
+
 def _rectify_one(image, T_inv):
     h, w = image.shape
     v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)

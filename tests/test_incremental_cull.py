@@ -153,3 +153,24 @@ def test_overflow_recovery_bit_identical(survey_dataset, caplog):
     msgs = [r.message for r in caplog.records]
     assert any("overflow" in m for m in msgs), "overflow path not hit"
     _assert_identical(layers, _single_device(survey_dataset))
+
+
+def test_z_filter_applies_identically_everywhere(survey_dataset):
+    """StereoConfig.z_min/z_max (opt-in outlier bound, the reference's
+    loaded-cloud z-filter extended to generated clouds) must act
+    IDENTICALLY in the single-device and fused sharded drivers, and
+    actually constrain the DSM."""
+    cfg = dataclasses.replace(
+        _cfg(),
+        stereo=dataclasses.replace(_cfg().stereo, z_min=405.0, z_max=425.0),
+    )
+    l_sh, _ = run_incremental(survey_dataset, cfg, update_every_nth=2,
+                              check_every=2)
+    l_1, _ = run_incremental(
+        survey_dataset, dataclasses.replace(cfg, auto_shard=False),
+        update_every_nth=2)
+    _assert_identical(l_sh, l_1)
+    elev = np.asarray(l_1["elevation"])
+    fin = np.isfinite(elev)
+    assert fin.any()
+    assert elev[fin].min() >= 405.0 and elev[fin].max() <= 425.0
