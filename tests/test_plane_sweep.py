@@ -273,3 +273,18 @@ def test_incremental_driver_rejects_plane_sweep():
     cfg = PipelineConfig(stereo=StereoConfig(densifier="plane_sweep"))
     with pytest.raises(ValueError, match="batch drivers"):
         run_incremental(ds, cfg)
+
+
+def test_neighbor_spacing_selection():
+    """neighbor_spacing picks views at +-k*spacing frames, nearest first,
+    clipped to the sequence; spacing=1 is plain nearest-in-sequence."""
+    from aerial_mapper_tpu.stereo.plane_sweep import _neighbor_sets
+
+    assert _neighbor_sets(9, [4], 2, spacing=1) == [[3, 5]]
+    assert _neighbor_sets(9, [4], 4, spacing=1) == [[3, 5, 2, 6]]
+    assert _neighbor_sets(9, [4], 2, spacing=3) == [[1, 7]]
+    # clipped at the edges: falls back to farther multiples on one side
+    assert _neighbor_sets(9, [0], 2, spacing=3) == [[3, 6]]
+    assert _neighbor_sets(9, [8], 2, spacing=3) == [[5, 2]]
+    # spacing larger than the sequence yields what exists
+    assert _neighbor_sets(3, [0], 2, spacing=5) == [[]]
