@@ -47,6 +47,55 @@ from aerial_mapper_tpu.ortho.backward_grid import backward_grid_update
 from aerial_mapper_tpu.stereo.batched import PairOperands, process_pairs_batched
 
 
+def _check_halo_fits_band(geom: MapGeometry, n_tiles: int,
+                          cfg: DsmConfig) -> None:
+    """The routed DSM band update trades halo strips with IMMEDIATE
+    neighbors only, so a point can influence another tile's cells only
+    when the IDW window halfwidth fits inside one band. A halo wider than
+    the band would silently lose contributions from tiles two hops away —
+    reject the configuration statically instead."""
+    halo = _window_halfwidth(
+        cfg.max_radius_sq if cfg.adaptive_interpolation
+        else cfg.interpolation_radius_sq,
+        geom.resolution,
+    )
+    band_h = geom.height // n_tiles
+    if halo > band_h:
+        raise ValueError(
+            f"IDW halo ({halo} rows at resolution {geom.resolution}) "
+            f"exceeds the per-tile band height ({band_h} rows = "
+            f"{geom.height} / {n_tiles} tiles); halo exchange only spans "
+            "immediate neighbors. Use fewer tiles, a taller map, or a "
+            "smaller max_radius_sq."
+        )
+
+
+def _binned_idw_band(binned, ext_geom: MapGeometry, cfg: DsmConfig):
+    """Shared band tail: kernel dispatch (with validation) + IDW of a
+    halo-extended binned structure. Used by both the replicated and the
+    routed band updates so the two paths cannot drift."""
+    import jax as _jax
+
+    idw_kw = dict(
+        radius_sq=cfg.interpolation_radius_sq,
+        adaptive=cfg.adaptive_interpolation,
+        growth=cfg.adaptive_growth_factor,
+        max_radius_sq=cfg.max_radius_sq,
+    )
+    if cfg.idw_kernel == "pallas":
+        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
+
+        return binned_idw_pallas(
+            binned, ext_geom, interpret=_jax.default_backend() == "cpu",
+            **idw_kw,
+        )
+    if cfg.idw_kernel == "xla":
+        return binned_idw(binned, ext_geom, **idw_kw)
+    raise ValueError(
+        f"idw kernel must be 'xla' or 'pallas', got {cfg.idw_kernel!r}"
+    )
+
+
 def _dsm_band_update(elevation_band, points, valid, geom, cfg: DsmConfig,
                      axis_name: str):
     """Update one device's elevation row band from the full point set."""
@@ -70,25 +119,7 @@ def _dsm_band_update(elevation_band, points, valid, geom, cfg: DsmConfig,
         north=geom.north, west=geom.west,
         row_offset=halo - row0, col_offset=halo,
     )
-    idw_kw = dict(
-        radius_sq=cfg.interpolation_radius_sq,
-        adaptive=cfg.adaptive_interpolation,
-        growth=cfg.adaptive_growth_factor,
-        max_radius_sq=cfg.max_radius_sq,
-    )
-    if cfg.idw_kernel == "pallas":
-        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
-
-        values, hit = binned_idw_pallas(
-            binned, ext_geom, interpret=jax.default_backend() == "cpu",
-            **idw_kw,
-        )
-    elif cfg.idw_kernel == "xla":
-        values, hit = binned_idw(binned, ext_geom, **idw_kw)
-    else:
-        raise ValueError(
-            f"idw kernel must be 'xla' or 'pallas', got {cfg.idw_kernel!r}"
-        )
+    values, hit = _binned_idw_band(binned, ext_geom, cfg)
     values = values[halo: halo + band_h, halo: halo + geom.width]
     hit = hit[halo: halo + band_h, halo: halo + geom.width]
     return jnp.where(hit, values, elevation_band)
@@ -105,7 +136,8 @@ def sharded_dsm_update(
     axis_name: str = "tiles",
 ) -> jax.Array:
     """Row-band-sharded DSM update; numerically identical to the
-    single-device ``update_elevation_layer``."""
+    single-device ``update_elevation_layer`` (no halo/band constraint:
+    each band bins its halo rows directly from the replicated cloud)."""
     fn = jax.shard_map(
         partial(_dsm_band_update, geom=geom, cfg=cfg, axis_name=axis_name),
         mesh=mesh,
@@ -336,9 +368,17 @@ def replicated_band_images(quats_G_C, t_G_C, images) -> BandedImages:
     )
 
 
+_BOUNDARY_RAYS_CACHE: dict = {}
+
+
 def _boundary_ray_dirs(cam: Camera) -> np.ndarray:
     """[3, B] camera-frame rays through every image-BOUNDARY pixel center
     plus the half-pixel outer corners, through the lens model.
+
+    Memoized per (hashable) camera: the distorted-lens branch dispatches
+    ``undistort_points`` to the device and reads it back — a per-call
+    tunnel sync the incremental driver would otherwise pay on EVERY
+    culled update for a result that depends only on the camera.
 
     For a distorted camera the ground footprint's extremes need not lie at
     the 4 corners, but the image boundary maps to a closed curve on any
@@ -348,6 +388,9 @@ def _boundary_ray_dirs(cam: Camera) -> np.ndarray:
     Reference projection semantics under distortion:
     ortho-backward-grid.cc:66-81 (project3 visibility implies the pixel is
     inside the image rect)."""
+    cached = _BOUNDARY_RAYS_CACHE.get(cam)
+    if cached is not None:
+        return cached
     w, h = cam.width, cam.height
     us = np.arange(w, dtype=np.float64) + 0.5
     vs = np.arange(h, dtype=np.float64) + 0.5
@@ -368,7 +411,9 @@ def _boundary_ray_dirs(cam: Camera) -> np.ndarray:
             undistort_points(cam, jnp.asarray(xy, jnp.float32)),
             np.float64,
         )
-    return np.concatenate([xy, np.ones((xy.shape[0], 1))], axis=1).T
+    rays = np.concatenate([xy, np.ones((xy.shape[0], 1))], axis=1).T
+    _BOUNDARY_RAYS_CACHE[cam] = rays
+    return rays
 
 
 def band_image_operands(
@@ -556,21 +601,7 @@ def _dsm_band_update_routed(elevation_band, pts, valid, rank,
         de=ex(binned.de), dn=ex(binned.dn), payload=ex(binned.payload),
         count=halo_exchange_extended(binned.count, halo, tiles_axis, axis=0),
     )
-    idw_kw = dict(
-        radius_sq=cfg.interpolation_radius_sq,
-        adaptive=cfg.adaptive_interpolation,
-        growth=cfg.adaptive_growth_factor,
-        max_radius_sq=cfg.max_radius_sq,
-    )
-    if cfg.idw_kernel == "pallas":
-        from aerial_mapper_tpu.dsm.pallas_idw import binned_idw_pallas
-
-        values, hit = binned_idw_pallas(
-            binned, ext_geom, interpret=jax.default_backend() == "cpu",
-            **idw_kw,
-        )
-    else:
-        values, hit = binned_idw(binned, ext_geom, **idw_kw)
+    values, hit = _binned_idw_band(binned, ext_geom, cfg)
     values = values[halo: halo + band_h, halo: halo + geom.width]
     hit = hit[halo: halo + band_h, halo: halo + geom.width]
     del n_tiles
@@ -841,6 +872,7 @@ def sharded_map_step(
     hw = ops.frames.shape[1] * ops.frames.shape[2]
     n_loc = (b // (n_pairs * n_tiles)) * hw
     cap = min(n_loc, int(-(-route_capacity_factor * n_loc // n_tiles)))
+    _check_halo_fits_band(geom, n_tiles, dsm_cfg)
 
     layer_spec = {k: P(tiles_axis, None) for k in layers}
     dp = P((pairs_axis, tiles_axis))
@@ -938,8 +970,8 @@ def _homography_shard_body(images, quats, ts, valid, cam, cfg,
     state, _ = jax.lax.scan(body, state0, (images, quats, ts, valid))
     num = jax.lax.psum(state.weighted_sum, axis_name)
     den = jax.lax.psum(state.weight_sum, axis_name)
-    out = num / jnp.maximum(den, 1e-12)
-    return jnp.where(den > 1e-12, out, 0.0)
+    # the single-device blend epsilon, verbatim (MosaicState.mosaic)
+    return type(state0)(num, den).mosaic
 
 
 @partial(

@@ -319,7 +319,6 @@ def run_ortho_backward_grid(
     layers, geom = run_dsm(dataset, cfg, point_cloud=point_cloud)
 
     quats_c, trans_c = dataset.camera_poses()
-    images = jnp.stack([jnp.asarray(im, jnp.float32) for im in dataset.images])
     mesh = _auto_mesh(geom, cfg)
     with timer.stage(
         "ortho_backward", work_items=geom.height * geom.width / 1e6
@@ -346,9 +345,15 @@ def run_ortho_backward_grid(
                 elev_lo, elev_hi = e0 - 1e-3, e0 + 1e-3
             n_tiles = mesh.shape["tiles"]
             geom_pad, _ = pad_map_geometry(geom, n_tiles)
+            # HOST image copies for the cull: band_image_operands rebuilds
+            # the per-band layouts on the host, and feeding it the device
+            # stack would read the whole [N, H, W] back over the tunnel
+            host_images = np.stack(
+                [np.asarray(im, np.float32) for im in dataset.images]
+            )
             banded = band_image_operands(
                 geom_pad, n_tiles, np.asarray(quats_c),
-                np.asarray(trans_c), images, dataset.rig.camera,
+                np.asarray(trans_c), host_images, dataset.rig.camera,
                 elev_min=elev_lo, elev_max=elev_hi,
             )
             layers = shard_layers(
@@ -363,9 +368,13 @@ def run_ortho_backward_grid(
             logger.info(
                 "ortho: row-band sharded over %d devices; band cull kept "
                 "%d/%d image slots (slab [%.1f, %.1f])",
-                n_tiles, kept, n_tiles * images.shape[0], elev_lo, elev_hi,
+                n_tiles, kept, n_tiles * host_images.shape[0], elev_lo,
+                elev_hi,
             )
         else:
+            images = jnp.stack(
+                [jnp.asarray(im, jnp.float32) for im in dataset.images]
+            )
             layers = backward_grid_update(
                 layers,
                 jnp.asarray(quats_c, jnp.float32),

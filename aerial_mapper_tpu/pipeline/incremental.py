@@ -358,7 +358,18 @@ def _run_incremental_sharded(
                                       update_every_nth)
     num_updates = 0
     capacity_factor = route_capacity_factor
-    slab = None  # (lo, hi) host floats; None = no trustworthy slab yet
+    # cull slab (lo, hi) host floats; None = no trustworthy slab yet.
+    # FLAT-PLANE ortho (use_digital_elevation_map=False) reads every cell
+    # at orthomosaic_elevation_m, NOT the DSM — its cull slab is that
+    # constant, exact from update 1, and the measured DSM range is
+    # irrelevant to it (validating against it could both miss real
+    # violations and flag false ones).
+    flat_plane = not cfg.ortho_backward.use_digital_elevation_map
+    if flat_plane:
+        e0 = cfg.ortho_backward.orthomosaic_elevation_m
+        slab = (e0 - 1e-3, e0 + 1e-3)
+    else:
+        slab = None
 
     def crop(ls):
         if pad_rows == 0:
@@ -403,13 +414,23 @@ def _run_incremental_sharded(
             )
         else:
             # first update: no stereo pair exists yet; ortho-only update,
-            # exactly the single-device driver's first step (slab is None
-            # here, so the layout is always replicated)
+            # exactly the single-device driver's first step. The layout
+            # may already be CULLED here (flat-plane mode's constant slab
+            # is exact from update 1) — dispatch like the fused step does.
             gb = to_global(banded)
-            layers = sharded_backward_grid_update(
-                layers, gb.quats, gb.ts, gb.images,
-                geom_pad, cam, cfg.ortho_backward, mesh,
-            )
+            if gb.ids.ndim == 1:
+                layers = sharded_backward_grid_update(
+                    layers, gb.quats, gb.ts, gb.images,
+                    geom_pad, cam, cfg.ortho_backward, mesh,
+                )
+            else:
+                from aerial_mapper_tpu.parallel.sharded import (
+                    sharded_backward_grid_update_banded,
+                )
+
+                layers = sharded_backward_grid_update_banded(
+                    layers, gb, geom_pad, cam, cfg.ortho_backward, mesh,
+                )
             diag = None
         return (layers, i, cur_stereo), diag
 
@@ -513,7 +534,7 @@ def _run_incremental_sharded(
         if win_records:
             overflow, lo, hi = read_window()
             bad_slab = (
-                win_culled and slab is not None
+                win_culled and slab is not None and not flat_plane
                 and np.isfinite(lo)
                 and (lo < slab[0] or hi > slab[1])
             )
@@ -529,7 +550,7 @@ def _run_incremental_sharded(
                     if overflow else "",
                 )
                 lo, hi = replay_window()
-            if np.isfinite(lo) and np.isfinite(hi):
+            if not flat_plane and np.isfinite(lo) and np.isfinite(hi):
                 slab = (lo - slab_margin_m, hi + slab_margin_m)
             if on_update is not None:
                 for i, cropped in pending:

@@ -93,9 +93,12 @@ def test_cli_ortho_backward_grid_incremental(dataset_dir):
     jpg = os.path.join(dataset_dir, "ortho_inc.jpg")
     # incremental pairs span update_every_nth frames -> 2x the baseline of
     # the consecutive-frame tests, so the disparity range must double too
+    # delta_northing 32: on the 8-tile mesh the default adaptive IDW halo
+    # (4 rows) must fit one band (sharded.py _check_halo_fits_band)
     main_ortho_backward_grid_incremental.main(
         ["--data_directory", dataset_dir] + GRID
-        + ["--dense_pcl_use_every_nth_image", "1", "--num_disparities", "32",
+        + ["--delta_northing", "32",
+           "--dense_pcl_use_every_nth_image", "1", "--num_disparities", "32",
            "--update_every_nth", "2", "--orthomosaic_jpg_filename", jpg])
     img = load_images_by_names(os.path.dirname(jpg), [os.path.basename(jpg)])[0]
     assert (img != 255).mean() > 0.2
@@ -391,8 +394,8 @@ def test_cli_incremental_resume_equals_one_run(dataset_dir):
     from aerial_mapper_tpu.io.artifacts import load_layers
 
     grid = ["--center_easting", "12", "--center_northing", "0",
-            "--delta_easting", "30", "--delta_northing", "24",
-            "--resolution", "1.0"]
+            "--delta_easting", "30", "--delta_northing", "32",
+            "--resolution", "1.0"]  # 32 rows: halo fits the 8-tile bands
     stereo = ["--dense_pcl_use_every_nth_image", "1",
               "--num_disparities", "32", "--update_every_nth", "2"]
     full_npz = os.path.join(dataset_dir, "inc_full_run.npz")

@@ -174,3 +174,77 @@ def test_z_filter_applies_identically_everywhere(survey_dataset):
     fin = np.isfinite(elev)
     assert fin.any()
     assert elev[fin].min() >= 405.0 and elev[fin].max() <= 425.0
+
+
+def test_flat_plane_cull_bit_identical(survey_dataset, monkeypatch):
+    """use_digital_elevation_map=False (flat-plane ortho): the cull slab
+    is the plane constant, exact from update 1, never validated against
+    the (irrelevant) DSM range — sharded result bit-identical to
+    single-device with the cull ACTIVE (round-4 review: the DSM-derived
+    slab could silently drop images that texture the plane)."""
+    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
+    from aerial_mapper_tpu.parallel import sharded as sh
+
+    cfg = dataclasses.replace(
+        _cfg(),
+        ortho_backward=OrthoBackwardGridConfig(
+            use_digital_elevation_map=False,
+            orthomosaic_elevation_m=414.0, cell_chunk=4096,
+        ),
+    )
+    calls = []
+    real = sh.band_image_operands
+
+    def recording(*a, **kw):
+        calls.append(kw.get("elev_min"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sh, "band_image_operands", recording)
+    l_sh, _ = run_incremental(survey_dataset, cfg, update_every_nth=2,
+                              check_every=2)
+    l_1, _ = run_incremental(
+        survey_dataset, dataclasses.replace(cfg, auto_shard=False),
+        update_every_nth=2)
+    # the cull ran from the FIRST update with the plane-constant slab
+    assert len(calls) == 4
+    assert all(abs(c - 413.999) < 1e-2 for c in calls)
+    _assert_identical(l_sh, l_1)
+
+
+def test_halo_wider_than_band_rejected():
+    """A max IDW radius whose window halfwidth exceeds the per-tile band
+    height must be rejected statically (halo strips only span immediate
+    neighbors; accepting it would silently drop contributions)."""
+    from aerial_mapper_tpu.config import (
+        DsmConfig,
+        OrthoBackwardGridConfig,
+    )
+    from aerial_mapper_tpu.mapgrid.grid import MapGeometry, create_map_state
+    from aerial_mapper_tpu.parallel import make_mesh
+    from aerial_mapper_tpu.parallel.sharded import (
+        pad_ring_pairs,
+        prepare_ring_pair_operands,
+        replicated_band_images,
+        sharded_map_step,
+    )
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+
+    mesh = make_mesh(("pairs", "tiles"), shape=(1, 8))
+    geom = MapGeometry(center_easting=0.0, center_northing=0.0,
+                       resolution=1.0, height=16, width=32)  # band_h = 2
+    cam = Camera(fx=32.0, fy=32.0, cx=16.0, cy=12.0, width=32, height=24)
+    Rs, ts = make_survey_poses(9, altitude=454.0, spacing=2.0)
+    images = [np.zeros((24, 32), np.float32) for _ in Rs]
+    ring = pad_ring_pairs(
+        prepare_ring_pair_operands(cam.K, Rs, ts, images), 8)
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)))
+    banded = replicated_band_images(quats, np.asarray(ts),
+                                    jnp.stack(images))
+    layers = dict(create_map_state(geom).layers)
+    # adaptive max_radius_sq=49 m^2 -> halo 8 rows > band_h 2
+    dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, max_radius_sq=49.0)
+    with pytest.raises(ValueError, match="halo"):
+        sharded_map_step(
+            layers, ring, banded, geom, cam, dsm_cfg,
+            OrthoBackwardGridConfig(cell_chunk=256), mesh,
+        )

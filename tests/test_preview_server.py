@@ -81,7 +81,7 @@ def test_cli_serves_latest_preview_during_run(tmp_path):
         main_ortho_backward_grid_incremental.main([
             "--data_directory", d, "--prefix_images", "image_",
             "--center_easting", "12", "--center_northing", "0",
-            "--delta_easting", "30", "--delta_northing", "24",
+            "--delta_easting", "30", "--delta_northing", "32",
             "--num_disparities", "32", "--update_every_nth", "2",
             "--interpolation_radius", "2.0", "--check_every", "1",
             "--serve_preview", str(port), "--preview_dir", preview,
