@@ -72,6 +72,9 @@ class SgmConfig:
     p1: float = 120.0
     p2: float = 250.0
     block_size: int = 9
+    # x-Sobel prefilter clip (the reference passes 35 to cv::StereoSGBM,
+    # common.h:87 — NOT OpenCV's own 63 default)
+    pre_filter_cap: int = 35
     uniqueness_ratio: int = 10
     num_directions: int = 8  # 4 or 8 scan directions (cv full-8 parity)
     speckle_window_size: int = 100
@@ -105,6 +108,9 @@ class BlockMatchingConfig:
     num_disparities: int = 80
     block_size: int = 15
     texture_threshold: float = 20.0
+    # cv semantics: invalidate when a cost outside +-1 of the winner is
+    # <= minsad + minsad*ratio/100 (integer truncation, equality rejects);
+    # NEGATIVE disables the check (0 still rejects exact cost ties)
     uniqueness_ratio: int = 80
     pre_filter_cap: int = 31
     pre_filter_size: int = 9
@@ -126,7 +132,7 @@ class BlockMatchingConfig:
     # border masking, WTA, sub-pixel, texture, and speckle semantics;
     # deviations in the acceptance set only: a conservative running
     # uniqueness runner-up, and NO left-right check (disp_12_max_diff is
-    # ignored) — exact XLA parity under uniqueness_ratio=0 +
+    # ignored) — exact XLA parity under uniqueness_ratio<0 (disabled) +
     # disp_12_max_diff<0. Not compilable through the axon remote tunnel
     # (CLAUDE.md Pallas policy); interpret mode runs it on CPU.
     kernel: str = "xla"

@@ -22,12 +22,15 @@ import numpy as np
 
 from aerial_mapper_tpu.camera.models import Camera
 from aerial_mapper_tpu.config import BlockMatchingConfig, SgmConfig
-from aerial_mapper_tpu.image.sample import point_in_quad, remap
+from aerial_mapper_tpu.image.sample import point_in_quad
 from aerial_mapper_tpu.stereo.matching import (
     block_matching_disparity,
     sgm_disparity,
 )
-from aerial_mapper_tpu.stereo.rectify import rectification_transforms
+from aerial_mapper_tpu.stereo.rectify import (
+    _rectify_image as _rectify_one,
+    rectification_transforms,
+)
 from aerial_mapper_tpu.stereo.triangulate import triangulate_disparity
 
 
@@ -50,10 +53,21 @@ def prepare_pair_operands(
     ts: np.ndarray,  # [N, 3]
     images,  # [N, H, W] array or list
     use_every_nth: int = 1,
+    phase: int = None,
 ) -> PairOperands:
-    """Host-side: consecutive (subsampled) frames -> stacked pair operands."""
-    idx = list(range(0, len(images), use_every_nth)) if use_every_nth > 1 \
-        else list(range(len(images)))
+    """Host-side: consecutive (subsampled) frames -> stacked pair operands.
+
+    ``phase`` selects which frames the stride keeps; the default matches
+    the reference's pre-incremented skip counter (``++skip % n == 0``,
+    stereo.cpp:91-93) and the sequential ``VirtualStereo`` driver: frames
+    n-1, 2n-1, ... (the earlier 0-based selection was an undocumented
+    phase offset between the batched and sequential drivers — round-4
+    review). ``phase=0`` keeps that historical selection (bench.py uses
+    it so the measured workload stays comparable across rounds)."""
+    if phase is None:
+        phase = use_every_nth - 1
+    idx = list(range(phase, len(images), use_every_nth)) \
+        if use_every_nth > 1 else list(range(len(images)))
     if len(idx) < 2:
         raise ValueError("Need at least two frames for a stereo pair")
     h, w = images[0].shape[-2], images[0].shape[-1]
@@ -115,18 +129,11 @@ def filter_points_z(points, valid, z_min=None, z_max=None):
     return valid
 
 
-def _rectify_one(image, T_inv):
-    h, w = image.shape
-    v = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    x = T_inv[0, 0] * u + T_inv[0, 1] * v + T_inv[0, 2]
-    y = T_inv[1, 0] * u + T_inv[1, 1] * v + T_inv[1, 2]
-    zw = T_inv[2, 0] * u + T_inv[2, 1] * v + T_inv[2, 2]
-    zw = jnp.where(jnp.abs(zw) < 1e-12, 1e-12, zw)
-    return remap(image, x / zw, y / zw, fill_value=0.0)
-
-
 def _process_one_pair(op, cam: Camera, matcher: str, bm_cfg, sgm_cfg):
+    if matcher not in ("bm", "sgm"):
+        # mirror VirtualStereo.process_pair: an unknown matcher must not
+        # silently fall through to SGM (round-4 review)
+        raise ValueError(f"matcher must be 'bm' or 'sgm', got {matcher!r}")
     (img1, img2, T1i, T2i, corners, R_rect, t1, baseline) = op
     h, w = img1.shape
     rect1 = _rectify_one(img1, T1i)

@@ -163,8 +163,13 @@ def _bt_cost(left: jax.Array, right: jax.Array, num_disp: int,
     uses before block aggregation.
     """
     def half_samples(img):
-        l = 0.5 * (img + jnp.roll(img, 1, axis=-1))
-        r = 0.5 * (img + jnp.roll(img, -1, axis=-1))
+        # edge-REPLICATED neighbor shifts (cv clamps at the border; a
+        # jnp.roll here would mix the opposite image edge into the BT
+        # interval at the first/last columns — round-4 review)
+        prev = jnp.concatenate([img[:, :1], img[:, :-1]], axis=-1)
+        nxt = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=-1)
+        l = 0.5 * (img + prev)
+        r = 0.5 * (img + nxt)
         mn = jnp.minimum(jnp.minimum(l, r), img)
         mx = jnp.maximum(jnp.maximum(l, r), img)
         return mn, mx
@@ -247,18 +252,31 @@ def _wta_subpixel(cost: jax.Array, min_disp: int):
 
 def _uniqueness_mask(cost: jax.Array, best: jax.Array, c0: jax.Array,
                      ratio: int) -> jax.Array:
-    """cv::StereoBM uniqueness: reject if some d' with |d'-best|>1 has
-    cost < c0 * (1 + ratio/100)."""
+    """cv::StereoBM/SGBM uniqueness: invalidate when some d' with
+    |d'-best|>1 has ``sad[d'] <= thresh`` where
+    ``thresh = minsad + minsad*ratio/100`` in INTEGER arithmetic
+    (truncating division) for the integer-cost path — equality REJECTS,
+    exactly cv's ``sad <= thresh`` test (the earlier float
+    ``runner >= c0*(1+ratio/100)`` accepted knife-edge ties cv rejects —
+    round-4 review). The float-cost fallback uses the strict-> analogue
+    with real division. ``ratio < 0`` disables the check."""
+    if ratio < 0:
+        return jnp.ones(cost.shape[1:], bool)
     d_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 0)
     away = jnp.abs(d_idx - best[None]) > 1
     big = _big_for(cost.dtype)
-    runner = jnp.min(jnp.where(away, cost, big), axis=0).astype(jnp.float32)
+    runner = jnp.min(jnp.where(away, cost, big), axis=0)
     if jnp.issubdtype(cost.dtype, jnp.integer):
-        # the int sentinel (dtype max) is NOT large next to
-        # c0*(1+ratio/100); remap to the float _BIG so all-masked pixels
-        # pass uniqueness exactly like the float path
-        runner = jnp.where(runner == float(big), _BIG, runner)
-    return runner >= c0.astype(jnp.float32) * (1.0 + ratio / 100.0)
+        runner_i = runner.astype(jnp.int32)
+        # all-masked pixels carry the dtype-max sentinel, which can be
+        # SMALLER than the int32 threshold — remap to int32 max first
+        runner_i = jnp.where(runner_i == int(big), jnp.int32(2**31 - 1),
+                             runner_i)
+        thresh = c0.astype(jnp.int32) * (100 + ratio) // 100
+        return runner_i > thresh
+    runner_f = runner.astype(jnp.float32)
+    runner_f = jnp.where(runner_f == float(big), _BIG, runner_f)
+    return runner_f > c0.astype(jnp.float32) * (1.0 + ratio / 100.0)
 
 
 def _lr_consistency_mask(cost: jax.Array, best: jax.Array,
@@ -488,9 +506,12 @@ def block_matching_disparity(
 
     disp, c0, best = _wta_subpixel(cost, cfg.min_disparity)
 
-    # Texture threshold: window sum of |sobel| responses (centered at cap).
+    # Texture threshold: cv::StereoBM invalidates when the RAW window sum
+    # of |sobel - ftzero| responses is below textureThreshold (no scaling;
+    # the earlier `* block_size` factor was an undocumented 15x-stricter
+    # deviation, round-4 review)
     texture = _box_filter(jnp.abs(lf - cfg.pre_filter_cap), cfg.block_size)
-    valid = texture >= cfg.texture_threshold * cfg.block_size
+    valid = texture >= cfg.texture_threshold
 
     valid &= _uniqueness_mask(cost, best, c0, cfg.uniqueness_ratio)
     if cfg.disp_12_max_diff >= 0:
@@ -631,8 +652,10 @@ def sgm_disparity(
     uniqueness + mask.
     """
     h, w = left.shape
-    lf = _xsobel_prefilter(left.astype(jnp.float32), 63.0)
-    rf = _xsobel_prefilter(right.astype(jnp.float32), 63.0)
+    lf = _xsobel_prefilter(left.astype(jnp.float32),
+                           float(cfg.pre_filter_cap))
+    rf = _xsobel_prefilter(right.astype(jnp.float32),
+                           float(cfg.pre_filter_cap))
 
     cost = _bt_cost(lf, rf, cfg.num_disparities, cfg.min_disparity)
     if cfg.block_size > 1:

@@ -17,7 +17,7 @@ Semantics vs the XLA path: identical border masking, WTA tie-break,
 parabolic sub-pixel (same interior-index gate and _BIG neighbor
 sentinels), texture threshold, and speckle filter — bit-identical
 disparities wherever BOTH paths accept a pixel, and bit-identical
-rasters end-to-end under ``uniqueness_ratio=0`` + ``disp_12_max_diff<0``
+rasters end-to-end under ``uniqueness_ratio<0`` + ``disp_12_max_diff<0``
 (asserted by tests/test_pallas_bm.py and the dryrun matcher-family flip).
 Two documented deviations in the ACCEPTANCE set only: the uniqueness
 runner-up is a *running* minimum over costs farther than +-1 from the
@@ -222,9 +222,17 @@ def block_matching_disparity_pallas(
     interior = (best_idx > 0.0) & (best_idx < d_num - 1.0)
     disp = disp_i + jnp.where(interior, delta, 0.0)
 
-    valid = runner >= c0 * (1.0 + cfg.uniqueness_ratio / 100.0)
+    if cfg.uniqueness_ratio < 0:
+        valid = jnp.ones((h, w), bool)
+    elif use_integer_costs(cfg):
+        # cv integer threshold (values are exact integers in float32):
+        # thresh = c0 + c0*ratio//100, equality rejects
+        thresh = jnp.floor(c0 * (100 + cfg.uniqueness_ratio) / 100.0)
+        valid = runner > thresh
+    else:
+        valid = runner > c0 * (1.0 + cfg.uniqueness_ratio / 100.0)
     texture = _box_filter(jnp.abs(lf - cfg.pre_filter_cap), block)
-    valid &= texture >= cfg.texture_threshold * block
+    valid &= texture >= cfg.texture_threshold  # raw sum, like cv (and XLA)
     u = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     valid &= u >= cfg.min_disparity  # some candidate exists (= any(border))
     valid &= mask

@@ -168,8 +168,10 @@ def sgm_disparity_pallas(
     (4 or 8 scan directions per ``cfg.num_directions``; cost build and
     post-filters shared with the XLA path)."""
     h, w = left.shape
-    lf = _xsobel_prefilter(left.astype(jnp.float32), 63.0)
-    rf = _xsobel_prefilter(right.astype(jnp.float32), 63.0)
+    lf = _xsobel_prefilter(left.astype(jnp.float32),
+                           float(cfg.pre_filter_cap))
+    rf = _xsobel_prefilter(right.astype(jnp.float32),
+                           float(cfg.pre_filter_cap))
 
     cost = _bt_cost(lf, rf, cfg.num_disparities, cfg.min_disparity)
     if cfg.block_size > 1:

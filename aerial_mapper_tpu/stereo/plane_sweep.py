@@ -223,18 +223,22 @@ def process_sequence_plane_sweep(
     n = len(images)
     if n < 2:
         raise ValueError("plane sweep needs at least two frames")
-    idx = list(range(0, n, use_every_nth))
+    # reference-phase stride (frames n-1, 2n-1, ... — stereo.cpp:91-93)
+    idx = list(range(use_every_nth - 1, n, use_every_nth))
     R_cw = np.transpose(np.asarray(Rs, np.float64), (0, 2, 1))
     all_pts, all_int, all_valid = [], [], []
     for ri, nbrs in zip(idx, _neighbor_sets(n, idx, cfg.num_neighbors,
                                          cfg.neighbor_spacing)):
         if not nbrs:
             continue
+        # images keep their input dtype (uint8 gathers 1-byte texels;
+        # the sweep upcasts after sampling) — same policy as the batched
+        # path's PlaneSweepOperands
         res = plane_sweep_elevation(
-            jnp.asarray(images[ri], jnp.float32),
+            jnp.asarray(images[ri]),
             jnp.asarray(Rs[ri], jnp.float32),
             jnp.asarray(ts[ri], jnp.float32),
-            jnp.stack([jnp.asarray(images[j], jnp.float32) for j in nbrs]),
+            jnp.stack([jnp.asarray(images[j]) for j in nbrs]),
             jnp.asarray(R_cw[nbrs], jnp.float32),
             jnp.asarray(np.asarray(ts)[nbrs], jnp.float32),
             cam, cfg,
@@ -281,7 +285,8 @@ def prepare_plane_sweep_operands(
     a multiple of the device count for sharding; padding slots repeat the
     last view and carry ref_valid=False)."""
     n = len(images)
-    idx = list(range(0, n, use_every_nth))
+    # reference-phase stride (frames n-1, 2n-1, ... — stereo.cpp:91-93)
+    idx = list(range(use_every_nth - 1, n, use_every_nth))
     nbr_sets = _neighbor_sets(n, idx, cfg.num_neighbors,
                               cfg.neighbor_spacing)
     idx = [ri for ri, nb in zip(idx, nbr_sets) if nb]

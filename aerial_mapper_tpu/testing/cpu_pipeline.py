@@ -87,6 +87,9 @@ def run_reference_pipeline_cpu(
     from aerial_mapper_tpu.native import backward_grid_cpu, dsm_idw_cpu
 
     t_begin = time.perf_counter()
+    # 0-based stride phase, matching bench.py's historical workload
+    # (the production TPU drivers default to the reference phase n-1;
+    # bench passes phase=0 so numerator and denominator agree)
     idx = list(range(0, len(images), use_every_nth))
     if len(idx) < 2:
         raise ValueError("need at least two subsampled frames")

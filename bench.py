@@ -239,7 +239,10 @@ def worker_e2e(k: int):
     images = images.astype(jnp.float32)
     stereo_src = images_u8 if os.environ.get(
         "BENCH_E2E_U8_STEREO", "0") == "1" else images
-    ops = prepare_pair_operands(cam.K, Rs, ts, stereo_src, use_every_nth=7)
+    # phase=0 keeps the historical bench workload (frames 0, 7, ... ->
+    # 35 pairs); the production default is the reference phase n-1
+    ops = prepare_pair_operands(cam.K, Rs, ts, stereo_src,
+                                use_every_nth=7, phase=0)
 
     u8_internal = os.environ.get("BENCH_E2E_U8_INTERNAL", "0") == "1"
 

@@ -78,14 +78,14 @@ def test_pallas_bm_integer_costs_guard_parity():
 
 
 def test_pallas_bm_exact_parity_acceptance_config():
-    """VERDICT r3 #2: with uniqueness and LR disabled (the two documented
+    """VERDICT r3 #2: with uniqueness and LR disabled (ratio<0 — the two documented
     acceptance-set deviations, pallas_bm.py docstring) the fused kernel is
     EXACTLY the XLA matcher on the integer-cost path — identical border
     masking, winners, texture, speckle, and validity; sub-pixel deltas
     agree to float-division rounding (~2e-6 px, XLA fuses the parabolic
     division differently)."""
     rect = rendered_rect_pair()
-    cfg = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+    cfg = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=-1,
                               disp_12_max_diff=-1)
     d_ref = np.asarray(
         block_matching_disparity(rect.image_left, rect.image_right,
@@ -121,9 +121,9 @@ def test_pallas_bm_selectable_via_config():
     ]
     ops = prepare_pair_operands(CAM.K, np.asarray(Rs), np.asarray(ts),
                                 images)
-    cfg_pal = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+    cfg_pal = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=-1,
                                   disp_12_max_diff=-1, kernel="pallas")
-    cfg_xla = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=0,
+    cfg_xla = BlockMatchingConfig(num_disparities=32, uniqueness_ratio=-1,
                                   disp_12_max_diff=-1, kernel="xla")
     pts_p, _i, valid_p = process_pairs_batched(
         ops, CAM, matcher="bm", bm_cfg=cfg_pal, batch_chunk=1)

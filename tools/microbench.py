@@ -112,7 +112,8 @@ def _pair_setup():
     from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
 
     cam, scene, Rs, ts, images, geom, layers, quats = _workload()
-    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7,
+                                phase=0)  # historical bench workload
     return cam, ops, jnp
 
 
@@ -439,7 +440,8 @@ def case_idw():
     cam, scene, Rs, ts, images, geom, layers, quats = _workload()
     from aerial_mapper_tpu.stereo.batched import prepare_pair_operands
 
-    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7,
+                                phase=0)  # historical bench workload
     pts, intens, valid = process_pairs_batched(
         ops, cam, matcher="bm",
         bm_cfg=BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64"))), batch_chunk=1)
@@ -530,7 +532,8 @@ def case_idw_stages():
     import jax.numpy as jnp
 
     cam, scene, Rs, ts, images, geom, layers, quats = _workload()
-    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7)
+    ops = prepare_pair_operands(cam.K, Rs, ts, images, use_every_nth=7,
+                                phase=0)  # historical bench workload
     pts, intens, valid = process_pairs_batched(
         ops, cam, matcher="bm",
         bm_cfg=BlockMatchingConfig(num_disparities=int(os.environ.get("MB_NUM_DISP", "64"))), batch_chunk=1)
