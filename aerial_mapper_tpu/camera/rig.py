@@ -108,9 +108,19 @@ def _camera_from_yaml(cam_node) -> Camera:
             raise ValueError(f"Unsupported distortion type: {dist_node['type']}")
         if kind != DIST_NONE:
             params = _mat_from_yaml(dist_node["parameters"]).ravel()
-            params = tuple(float(p) for p in params) + (0.0,) * (4 - len(params))
+            params = tuple(float(p) for p in params)
+            if len(params) > 4 and any(p != 0.0 for p in params[4:]):
+                # plumb_bob's 5th parameter (k3): the radtan model here is
+                # 4-parameter (like aslam's RadTanDistortion) — refuse to
+                # silently drop a nonzero k3 and project with the wrong lens
+                raise ValueError(
+                    f"Unsupported distortion parameters beyond 4 "
+                    f"(k3={params[4]} != 0); recalibrate with the "
+                    "4-parameter radial-tangential model"
+                )
+            params = (params + (0.0,) * 4)[:4]
             if any(p != 0.0 for p in params):
-                dist_kind, dist_params = kind, params[:4]
+                dist_kind, dist_params = kind, params
     return Camera(
         fx=fx, fy=fy, cx=cx, cy=cy, width=width, height=height,
         dist_kind=dist_kind, dist_params=dist_params,

@@ -43,12 +43,12 @@ def match_descriptors(
     sim_wo_best = sim.at[rows, best12].set(neg)
     second = jnp.max(sim_wo_best, axis=1)
     mutual = best21[best12] == rows
-    matched = (
-        mutual
-        & (best_sim > min_similarity)
-        & (second < best_sim * ratio + (1 - ratio) * neg)
-        & valid1
-    )
+    matched = mutual & (best_sim > min_similarity) & valid1
+    if ratio < 1.0:
+        # strict < would also reject EXACT similarity ties at ratio=1.0
+        # (repetitive textures — the very case the default disables the
+        # test for), so >= 1 skips the comparison entirely
+        matched &= second < best_sim * ratio + (1 - ratio) * neg
     return best12.astype(jnp.int32), matched
 
 
@@ -59,11 +59,17 @@ def epipolar_gate(
     R2: jax.Array, t2: jax.Array,
     fx: float, fy: float, cx: float, cy: float,
     threshold_px: float = 3.0,
+    cam=None,
 ):
     """[K] bool: symmetric epipolar distance below threshold.
 
     E = [t_rel]_x R_rel in camera-2-from-camera-1 coordinates; distances
-    are evaluated in pixels using the focal length scale.
+    are evaluated in pixels using the focal length scale. Pass ``cam`` (a
+    ``camera.models.Camera``) when the keypoints live in DISTORTED image
+    space: the normalized coordinates are then pushed through
+    ``undistort_points`` before the epipolar algebra — a radtan lens
+    displaces peripheral pixels by tens of px, far beyond the threshold,
+    so a distortion-blind gate culls correct matches (round-4 review).
     """
     R_rel = R2.T @ R1  # cam1 -> cam2 rotation
     t_rel = R2.T @ (t1 - t2)  # cam1 origin in cam2 frame
@@ -85,6 +91,11 @@ def epipolar_gate(
 
     x1 = norm_coords(uv1)
     x2 = norm_coords(uv2)
+    if cam is not None and cam.dist_kind != "none":
+        from aerial_mapper_tpu.camera.models import undistort_points
+
+        x1 = x1.at[:, :2].set(undistort_points(cam, x1[:, :2]))
+        x2 = x2.at[:, :2].set(undistort_points(cam, x2[:, :2]))
     Ex1 = x1 @ E.T  # [K, 3] epipolar lines in image 2
     Etx2 = x2 @ E  # lines in image 1
     x2tEx1 = jnp.sum(x2 * Ex1, axis=-1)

@@ -68,6 +68,7 @@ def refine_poses(
                 jnp.asarray(trans_G_C[j], jnp.float32),
                 cam.fx, cam.fy, cam.cx, cam.cy,
                 threshold_px=epipolar_threshold_px,
+                cam=cam,  # keypoints live in distorted image space
             )
             keep = np.asarray(matched & gate)
             ii = np.nonzero(keep)[0]
@@ -85,16 +86,35 @@ def refine_poses(
         return quats_G_C, trans_G_C, {"tracks": num_tracks,
                                       "matches": total_matches}
 
+    # bucket observation and landmark counts to powers of two: both are
+    # STATIC shapes of the jitted BA program, and the windowed driver
+    # would otherwise recompile every window (remote compiles run 3 s to
+    # >9 min on this toolchain, CLAUDE.md). Padded observations carry
+    # valid=False; padded landmarks have no observations (triangulation
+    # regularizes them, BA gives them damped no-op solves).
+    def _bucket(x: int, floor: int = 256) -> int:
+        b = floor
+        while b < x:
+            b *= 2
+        return b
+
+    m_real = int(np.asarray(problem.valid).shape[0])
+    problem, _ = build_tracks(
+        pair_matches, kps, min_track_length=min_track_length,
+        max_observations=_bucket(m_real),
+    )
+    n_lms = _bucket(num_tracks)
+
     quats_j = jnp.asarray(quats_G_C, jnp.float32)
     trans_j = jnp.asarray(trans_G_C, jnp.float32)
     landmarks = triangulate_tracks(
-        problem, quats_j, trans_j, num_tracks,
+        problem, quats_j, trans_j, n_lms,
         cam.fx, cam.fy, cam.cx, cam.cy,
     )
     state0 = BAState(quats=quats_j, trans=trans_j, landmarks=landmarks)
     refined = bundle_adjust(
         state0, problem, cam, ba_cfg,
-        n_cams=n, n_lms=num_tracks,
+        n_cams=n, n_lms=n_lms,
     )
     stats = {"tracks": num_tracks, "matches": total_matches,
              "observations": int(np.asarray(problem.valid).sum())}

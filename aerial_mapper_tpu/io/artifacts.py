@@ -23,14 +23,24 @@ _SCHEMA_LAYERS = 1
 
 
 def save_points(filename: str, points, intensities, valid) -> None:
+    # atomic + suffix-consistent like save_layers: np.savez appends .npz
+    # to suffix-less names (load_points would then miss the file), and a
+    # crash mid-write must not leave a truncated checkpoint artifact
+    import os
+
+    d, base = os.path.split(filename)
+    tmp = os.path.join(d, f".tmp{os.getpid()}_{base}")
+    if not tmp.endswith(".npz"):
+        tmp += ".npz"
     np.savez_compressed(
-        filename,
+        tmp,
         schema=np.int32(_SCHEMA_POINTS),
         kind="points",
         points=np.asarray(points, np.float32),
         intensities=np.asarray(intensities, np.float32),
         valid=np.asarray(valid, bool),
     )
+    os.replace(tmp, filename)
 
 
 def load_points(filename: str):

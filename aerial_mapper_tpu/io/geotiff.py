@@ -418,8 +418,18 @@ def read_geotiff(
     if bo == ">":
         arr = arr.astype(arr.dtype.newbyteorder("<"))
 
+    if 34264 in tags and 33922 not in tags:
+        raise ValueError(
+            "TIFF georeferenced via ModelTransformationTag (34264) — only "
+            "PixelScale + Tiepoint georeferencing is supported"
+        )
     scale = tags.get(33550, (1.0, 1.0, 0.0))
     tie = tags.get(33922, (0.0,) * 6)
+    if tie[0] != 0.0 or tie[1] != 0.0:
+        raise ValueError(
+            f"TIFF tiepoint anchored at raster ({tie[0]}, {tie[1]}) != "
+            "(0, 0) — non-origin tiepoints are not supported"
+        )
     west, north, res = tie[3], tie[4], scale[0]
 
     epsg = None

@@ -78,14 +78,24 @@ def _load_standard(filename: str):
 def _load_ros_csv(filename: str):
     rows = []
     with open(filename) as f:
-        for line in f:
+        for lineno, line in enumerate(f, 1):
             line = line.strip()
             if not line or line.startswith("#") or line.startswith("%"):
                 continue
             parts = line.replace(",", " ").split()
             if len(parts) < 8:
                 continue
-            rows.append([float(p) for p in parts[:8]])
+            try:
+                rows.append([float(p) for p in parts[:8]])
+            except ValueError:
+                if not rows:
+                    # a plain (uncommented) header row like
+                    # 'time,x,y,z,qx,qy,qz,qw' — common in spreadsheet
+                    # round-trips; skip it
+                    continue
+                raise ValueError(
+                    f"{filename}:{lineno}: malformed pose row {line!r}"
+                ) from None
     data = np.asarray(rows, dtype=np.float64)
     timestamps = data[:, 0]
     trans = data[:, 1:4]

@@ -2,10 +2,14 @@
 
 Replaces the reference's ad-hoc ``ros::Time::now()`` deltas logged via VLOG
 (``dsm.cc:56,108-110``, ``ortho-backward-grid.cc:55,123-125`` — SURVEY.md §5
-"Tracing / profiling"). Works correctly with JAX's async dispatch: timers
-block on the produced arrays before reading the clock, and report Mcells/s —
-the BASELINE.json headline unit. For deep profiles use
-``jax.profiler.trace`` around a stage.
+"Tracing / profiling"). HONESTY NOTE: under JAX's async dispatch the
+``stage`` context measures host-side DISPATCH wall-clock of the block —
+useful as a coarse per-stage diagnostic, NOT as a kernel timing (and on the
+axon tunnel even ``block_until_ready`` does not reliably block, CLAUDE.md).
+Authoritative device timings come from bench.py's drained, k-differenced
+min-window methodology; for deep profiles use ``jax.profiler.trace``.
+``time_fn`` additionally blocks on the produced arrays, which is sufficient
+on ordinary backends.
 """
 
 from __future__ import annotations
@@ -36,14 +40,14 @@ class StageTimer:
         self.work: Dict[str, float] = {}
 
     @contextlib.contextmanager
-    def stage(self, name: str, work_items: Optional[float] = None,
-              result_tree=None):
+    def stage(self, name: str, work_items: Optional[float] = None):
+        # (a result_tree parameter existed here but was unusable: it bound
+        # at __enter__, before the block produced its arrays, and had no
+        # callers — removed in round 4. Use time_fn to block on results.)
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            if result_tree is not None:
-                block_until_ready_tree(result_tree)
             dt = time.perf_counter() - t0
             self.durations[name] = self.durations.get(name, 0.0) + dt
             if work_items is not None:
