@@ -66,6 +66,42 @@ def expand_flagfiles(argv: List[str]) -> List[str]:
     return out
 
 
+def strip_flag_prefix(argv, prefix: str):
+    """Remove a reference per-demo flag prefix (e.g. ``backward_grid_``)
+    from already-flagfile-expanded argv, including the ``--no-`` forms the
+    gflags-bool translation produces (``--backward_grid_x=false`` expands
+    to ``--no-backward_grid_x`` BEFORE the strip — round-4 review)."""
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    argv = expand_flagfiles(argv)
+    out = []
+    for a in argv:
+        if a.startswith("--" + prefix):
+            out.append("--" + a[len("--" + prefix):])
+        elif a.startswith("--no-" + prefix):
+            out.append("--no-" + a[len("--no-" + prefix):])
+        else:
+            out.append(a)
+    return out
+
+
+def add_reference_compat_flags(p: argparse.ArgumentParser):
+    """No-op flags present in the reference's .ff files so they parse
+    verbatim: visualization/threading toggles whose roles are covered by
+    artifact dumps and the mesh runtime here."""
+    for name, default in (
+        ("show_orthomosaic_opencv", False),  # cv::imshow loop
+        ("save_orthomosaic_jpg", True),  # we always honor the jpg path
+        ("grid_mode_batch", True),  # batch vs incremental = separate CLIs
+        ("use_multi_threads", True),  # parFor -> mesh sharding
+    ):
+        p.add_argument(f"--{name}", action=argparse.BooleanOptionalAction,
+                       default=default,
+                       help="accepted for reference flagfile compatibility")
+
+
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--data_directory", required=True,
@@ -136,6 +172,10 @@ def add_stereo_flags(p: argparse.ArgumentParser):
     p.add_argument("--dense_pcl_use_every_nth_image", type=int, default=10)
     p.add_argument("--use_BM", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--use_SGM", dest="use_BM", action="store_false")
+    # the gflags spelling --use_SGM=false expands to --no-use_SGM, which a
+    # plain store_false cannot parse: register it as 'use BM'
+    p.add_argument("--no-use_SGM", dest="use_BM", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("--num_disparities", type=int, default=80)
     p.add_argument("--images_need_undistortion", action=argparse.BooleanOptionalAction)
     p.add_argument("--densifier", default="stereo",
@@ -321,10 +361,7 @@ def maybe_refine_poses(dataset: Dataset, args) -> Dataset:
 
     from aerial_mapper_tpu.config import BundleAdjustmentConfig
     from aerial_mapper_tpu.features.refine import refine_poses_windowed
-    from aerial_mapper_tpu.io.poses import (
-        _quat_from_matrix_np,
-        _rot_matrix_np,
-    )
+    from aerial_mapper_tpu.io.poses import camera_to_body_poses
 
     quats_c, trans_c = dataset.camera_poses()
     images = [jnp.asarray(im, jnp.float32) for im in dataset.images]
@@ -339,16 +376,6 @@ def maybe_refine_poses(dataset: Dataset, args) -> Dataset:
     logging.getLogger("aerial_mapper_tpu").info(
         "refine_poses: %s", stats
     )
-    # camera poses -> body poses via the rig: T_G_B = T_G_C * T_C_B
-    q_cb = dataset.rig.T_C_B_quats[0]
-    R_cb = _rot_matrix_np(q_cb)
-    t_cb = dataset.rig.T_C_B_trans[0]
-    n = q_ref.shape[0]
-    quats_b = np.zeros((n, 4))
-    trans_b = np.zeros((n, 3))
-    for i in range(n):
-        R_gc = _rot_matrix_np(np.asarray(q_ref[i], np.float64))
-        R_gb = R_gc @ R_cb
-        quats_b[i] = _quat_from_matrix_np(R_gb)
-        trans_b[i] = np.asarray(t_ref[i], np.float64) + R_gc @ t_cb
+    quats_b, trans_b = camera_to_body_poses(dataset.rig, q_ref, t_ref)
+    del np
     return _dc.replace(dataset, quats_G_B=quats_b, trans_G_B=trans_b)

@@ -2,9 +2,11 @@
 
 The framework's replacement for the reference's downloadable cadastre sample
 (install/test_aerial_mapper:20-23 — no egress here): writes images
-(image_<i>.jpg), Standard-format poses (opt_poses.txt), a camera rig YAML,
-and ground-truth DSM/ortho rasters, in the exact layout the demo CLIs (and
-the reference flagfiles) expect. Also doubles as the reference-to-TPU
+(image_<i>.jpg), Standard-format poses (opt_poses.txt), and a camera rig
+YAML in the exact layout the demo CLIs (and the reference flagfiles)
+expect. Ground truth is ANALYTIC, not written to disk: evaluate
+``synth.scene.SyntheticScene.height/texture`` at any map's cell centers
+(what the test suite and bench oracles do). Also doubles as the reference-to-TPU
 conversion utility (the reference's convertFromSimulation,
 aerial-mapper-io.cc:123-205, fills the same role for Blender/Gazebo output).
 """

@@ -11,16 +11,7 @@ from aerial_mapper_tpu.cli import common
 
 
 def _strip_prefix(argv):
-    if argv is None:
-        import sys
-
-        argv = sys.argv[1:]
-    argv = common.expand_flagfiles(argv)
-    return [
-        "--" + a[len("--backward_grid_"):]
-        if a.startswith("--backward_grid_") else a
-        for a in argv
-    ]
+    return common.strip_flag_prefix(argv, "backward_grid_")
 
 
 def main(argv=None):
@@ -28,6 +19,7 @@ def main(argv=None):
     common.add_grid_flags(p)
     common.add_stereo_flags(p)
     common.add_dsm_flags(p)
+    common.add_reference_compat_flags(p)
     p.add_argument("--orthomosaic_elevation_m", type=float, default=0.0)
     p.add_argument("--use_digital_elevation_map", action=argparse.BooleanOptionalAction,
                    default=True)

@@ -15,6 +15,7 @@ def main(argv=None):
     common.add_grid_flags(p)
     common.add_stereo_flags(p)
     common.add_dsm_flags(p)
+    common.add_reference_compat_flags(p)
     p.add_argument("--orthomosaic_elevation_m", type=float, default=0.0)
     p.add_argument("--use_digital_elevation_map", action=argparse.BooleanOptionalAction,
                    default=True)

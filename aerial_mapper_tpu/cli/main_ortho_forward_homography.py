@@ -19,16 +19,7 @@ def _translate_reference_flags(argv):
     the MOSAIC frame origin subtracted from ground intersections
     (ortho-forward-homography.cc:95-101), not a pose offset.
     """
-    if argv is None:
-        import sys
-
-        argv = sys.argv[1:]
-    argv = common.expand_flagfiles(argv)
-    argv = [
-        "--" + a[len("--forward_homography_"):]
-        if a.startswith("--forward_homography_") else a
-        for a in argv
-    ]
+    argv = common.strip_flag_prefix(argv, "forward_homography_")
     origin = {}
     out = []
     for a in argv:

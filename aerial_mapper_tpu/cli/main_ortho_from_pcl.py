@@ -12,12 +12,20 @@ def main(argv=None):
     p = common.base_parser(__doc__)
     common.add_grid_flags(p)
     common.add_stereo_flags(p)
+    common.add_reference_compat_flags(p)
     p.add_argument("--interpolation_radius", type=float, default=2.0)
     p.add_argument("--adaptive_interpolation", action=argparse.BooleanOptionalAction)
+    p.add_argument("--use_adaptive_interpolation",
+                   dest="adaptive_interpolation",
+                   action=argparse.BooleanOptionalAction,
+                   help="reference spelling (ortho-from-pcl flagfiles)")
     p.add_argument("--point_cloud_filename", default="")
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_pcl.jpg")
     p.add_argument("--output_geotiff", default=None)
-    args = common.parse(p, argv)
+    # the reference prefixes these flags with ortho_from_pcl_
+    # (flags/0-synthetic-cadastre-ortho-from-pcl.ff)
+    args = common.parse(p, common.strip_flag_prefix(argv,
+                                                    "ortho_from_pcl_"))
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
     from aerial_mapper_tpu.pipeline.batch import run_ortho_from_pcl

@@ -39,19 +39,11 @@ def main(argv=None):
     )
     # NOTE: refined poses are CAMERA poses; convert back to body frame
     # through the rig extrinsics (T_G_B = T_G_C * T_C_B)
-    from aerial_mapper_tpu.io.poses import _quat_from_matrix_np, _rot_matrix_np
+    from aerial_mapper_tpu.io.poses import camera_to_body_poses
 
-    q_cb = dataset.rig.T_C_B_quats[0]
-    R_cb = _rot_matrix_np(q_cb)
-    t_cb = dataset.rig.T_C_B_trans[0]
-    quats_b, trans_b = [], []
-    for q, t in zip(np.asarray(q_ref), np.asarray(t_ref)):
-        R_gc = _rot_matrix_np(q)
-        R_gb = R_gc @ R_cb
-        quats_b.append(_quat_from_matrix_np(R_gb))
-        trans_b.append(t + R_gc @ t_cb)
-    save_poses_standard(args.output_poses, np.asarray(quats_b),
-                        np.asarray(trans_b))
+    quats_b, trans_b = camera_to_body_poses(dataset.rig, np.asarray(q_ref),
+                                            np.asarray(t_ref))
+    save_poses_standard(args.output_poses, quats_b, trans_b)
     print(f"refined {len(images)} poses -> {args.output_poses} "
           f"(tracks={stats['tracks']}, matches={stats['matches']})")
 

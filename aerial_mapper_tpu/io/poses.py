@@ -219,3 +219,24 @@ def save_poses_standard(filename: str, quats: np.ndarray,
 def subtract_origin(trans: np.ndarray, origin) -> np.ndarray:
     """subtractOriginFromPoses (aerial-mapper-io.cc:263-270), out-of-place."""
     return trans - np.asarray(origin, dtype=np.float64)[None, :]
+
+
+def camera_to_body_poses(rig, quats_G_C, trans_G_C, camera_index: int = 0):
+    """Convert refined CAMERA poses back to BODY poses through the rig:
+    T_G_B = T_G_C * T_C_B (ortho-backward-grid.cc:230-233 inverted).
+    Shared by the --refine_poses plumbing (cli/common.py) and the
+    refine-poses CLI. Returns (quats_G_B [N, 4], trans_G_B [N, 3])
+    float64."""
+    q_cb = rig.T_C_B_quats[camera_index]
+    R_cb = _rot_matrix_np(q_cb)
+    t_cb = rig.T_C_B_trans[camera_index]
+    quats_G_C = np.asarray(quats_G_C, np.float64)
+    trans_G_C = np.asarray(trans_G_C, np.float64)
+    n = quats_G_C.shape[0]
+    quats_b = np.zeros((n, 4))
+    trans_b = np.zeros((n, 3))
+    for i in range(n):
+        R_gc = _rot_matrix_np(quats_G_C[i])
+        quats_b[i] = _quat_from_matrix_np(R_gc @ R_cb)
+        trans_b[i] = trans_G_C[i] + R_gc @ t_cb
+    return quats_b, trans_b

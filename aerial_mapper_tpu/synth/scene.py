@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aerial_mapper_tpu.camera.models import Camera, distort
+from aerial_mapper_tpu.camera.models import Camera
 
 
 @dataclasses.dataclass(frozen=True)

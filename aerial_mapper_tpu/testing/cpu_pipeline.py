@@ -38,7 +38,12 @@ _MIN_VALID_DISPARITY = 1.0  # densifier.cpp:60 keeps only d > 1
 def _triangulate_np(disp, gray_rect, K, baseline, R_G_C_rect, t_G_C1):
     """Vectorized ``triangulate_reference`` (densifier.cpp:37-107): the same
     Q-matrix arithmetic as the loop oracle in testing/numpy_ref.py,
-    including the fx/fy ratio on the y term."""
+    including the fx/fy ratio on the y term. ``R_G_C_rect`` is the
+    rect-camera-to-world rotation, applied as ``p_rect @ R.T`` (row-vector
+    form of ``R @ p``) — convention locked against the loop oracle by
+    tests/test_cpu_pipeline.py::test_triangulate_np_rotation_convention
+    with non-ideal (yawed/pitched) cameras, where a transposed rotation
+    would be meters off."""
     h, w = disp.shape
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
@@ -52,7 +57,7 @@ def _triangulate_np(disp, gray_rect, K, baseline, R_G_C_rect, t_G_C1):
     y = ((fx / fy) * v - cy * (fx / fy)) / wq
     z = fx / wq
     p_rect = np.stack([x, y, z], axis=-1).reshape(-1, 3)
-    pts = p_rect @ R_G_C_rect + t_G_C1[None, :]  # R^T rows == R_G_C_rect.T.T
+    pts = p_rect @ R_G_C_rect.T + t_G_C1[None, :]
     return pts, gray_rect.reshape(-1), valid.reshape(-1)
 
 
@@ -127,7 +132,7 @@ def run_reference_pipeline_cpu(
         disp = matcher.compute(rect1, rect2).astype(np.float64) / 16.0
         pts, gray, valid = _triangulate_np(
             disp, rect1, np.asarray(K, np.float64), baseline,
-            np.asarray(R_rect, np.float64).T, t1,
+            np.asarray(R_rect, np.float64), t1,
         )
         all_pts.append(pts)
         all_valid.append(valid)

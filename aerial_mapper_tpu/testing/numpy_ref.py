@@ -53,11 +53,18 @@ def idw_reference(
         den = 0.0
         exact = False
         for i in idx:
-            if exact_match_shortcut and d2[i] == 0.0:
-                num = payload[i]
-                den = 1.0
-                exact = True
-            if not exact:
+            if d2[i] == 0.0:
+                # FIRST exact hit wins and the loop keeps it (the native
+                # baseline's `d2s[k] == 0.0 && !exact` guard; a later
+                # exact point must not overwrite it). With the shortcut
+                # disabled the reference's 1/d^2 arithmetic would produce
+                # inf/inf — the first-exact semantics are the only
+                # finite-valued reading, so they apply in both modes.
+                if not exact:
+                    num = payload[i]
+                    den = 1.0
+                    exact = True
+            elif not exact:
                 num += payload[i] / d2[i]
                 den += 1.0 / d2[i]
         values[ci] = num / den

@@ -325,7 +325,12 @@ def worker_incremental(k: int):
     # one representative update: the latest subsampled pair + the 7-frame
     # image subset accumulated since the previous update (group 17 at the
     # full 249-image scale, clamped for reduced BENCH_NUM_IMAGES configs)
+    # the +8 slice end must also exist: clamp base so both frames of the
+    # pair are in range even for tiny BENCH_NUM_IMAGES configs
     base = 7 * max(min(17, (NUM_IMAGES - 1) // 7 - 1), 0)
+    base = min(base, max(NUM_IMAGES - 8, 0))
+    if NUM_IMAGES < 8:
+        raise ValueError("BENCH_NUM_IMAGES must be >= 8 for the inc worker")
     sub = slice(base, base + 8, 7)  # e.g. frames 119, 126
     ops = prepare_pair_operands(
         cam.K, Rs[sub], ts[sub], images[sub], use_every_nth=1)

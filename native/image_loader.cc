@@ -111,21 +111,30 @@ int decode_png(FILE* fp, bool color, DecodedImage* out) {
   }
   png_init_io(png, fp);
   png_read_info(png, info);
-  // normalize everything to 8-bit RGB
+  // normalize everything to 8-bit RGB; interlace handling makes Adam7
+  // files decode correctly (npasses row sweeps into a full-image buffer
+  // instead of misreading interlace-pass rows as scanlines)
   png_set_strip_16(png);
   png_set_palette_to_rgb(png);
   png_set_expand_gray_1_2_4_to_8(png);
   png_set_strip_alpha(png);
   png_set_gray_to_rgb(png);
+  const int npasses = png_set_interlace_handling(png);
   png_read_update_info(png, info);
   const long w = png_get_image_width(png, info);
   const long h = png_get_image_height(png, info);
   out->h = h;
   out->w = w;
   out->data.resize(static_cast<size_t>(h) * w * (color ? 3 : 1));
-  std::vector<png_byte> row(static_cast<size_t>(w) * 3);
+  std::vector<png_byte> rgb(static_cast<size_t>(h) * w * 3);
+  for (int pass = 0; pass < npasses; ++pass) {
+    for (long y = 0; y < h; ++y) {
+      png_read_row(png, rgb.data() + static_cast<size_t>(y) * w * 3,
+                   nullptr);
+    }
+  }
   for (long y = 0; y < h; ++y) {
-    png_read_row(png, row.data(), nullptr);
+    const png_byte* row = rgb.data() + static_cast<size_t>(y) * w * 3;
     float* dst = out->data.data() + static_cast<size_t>(y) * w * (color ? 3 : 1);
     if (color) {
       for (long x = 0; x < w * 3; ++x) dst[x] = static_cast<float>(row[x]);

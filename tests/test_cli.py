@@ -547,3 +547,94 @@ def test_cli_dsm_plane_sweep_densifier(dataset_dir):
     fin = np.isfinite(data)
     assert fin.mean() > 0.8
     assert 405 < np.nanmedian(data) < 425
+
+
+def test_reference_backward_grid_flagfiles_run(dataset_dir, tmp_path):
+    """The reference's OWN backward-grid flagfiles (batch + incremental,
+    with their --backward_grid_ prefixes, gflags =true/=false booleans,
+    and visualization/threading toggles) must parse and run verbatim —
+    only the dataset/geometry flags are overridden after the flagfile
+    (argparse last-wins), exactly how a migrating user would invoke it
+    (round-4 review: =false flags expanded to --no-<prefixed> BEFORE the
+    prefix strip and aborted)."""
+    import shutil
+
+    ref = ("/root/reference/aerial_mapper_demos/flags/"
+           "0-synthetic-cadastre-ortho-backward-batch.ff")
+    ff = str(tmp_path / "batch.ff")
+    shutil.copy(ref, ff)
+    jpg = str(tmp_path / "ref_ff_ortho.jpg")
+    main_ortho_backward_grid.main([
+        f"--flagfile={ff}",
+        "--data_directory", dataset_dir, "--prefix_images", "image_",
+        "--filename_camera_rig", "camera_fixed_wing.yaml",
+        "--center_easting", "12", "--center_northing", "0",
+        "--delta_easting", "30", "--delta_northing", "24",
+        "--resolution", "1.0",
+        "--dense_pcl_use_every_nth_image", "1",
+        "--num_disparities", "16",
+        "--orthomosaic_elevation_m", "414.0",
+        "--orthomosaic_jpg_filename", jpg,
+        "--output_geotiff", str(tmp_path / "ref_ff.tif"),
+    ])
+    assert os.path.exists(jpg)
+
+    ref_inc = ("/root/reference/aerial_mapper_demos/flags/"
+               "0-synthetic-cadastre-ortho-backward-incremental.ff")
+    ff2 = str(tmp_path / "inc.ff")
+    shutil.copy(ref_inc, ff2)
+    jpg2 = str(tmp_path / "ref_ff_inc.jpg")
+    main_ortho_backward_grid_incremental.main([
+        f"--flagfile={ff2}",
+        "--data_directory", dataset_dir, "--prefix_images", "image_",
+        "--filename_camera_rig", "camera_fixed_wing.yaml",
+        "--center_easting", "12", "--center_northing", "0",
+        "--delta_easting", "30", "--delta_northing", "32",
+        "--resolution", "1.0",
+        "--dense_pcl_use_every_nth_image", "1",
+        "--num_disparities", "32", "--update_every_nth", "2",
+        "--orthomosaic_elevation_m", "414.0",
+        "--orthomosaic_jpg_filename", jpg2,
+    ])
+    assert os.path.exists(jpg2)
+
+
+def test_reference_ortho_from_pcl_flagfile_runs(dataset_dir, tmp_path):
+    """The reference's ortho-from-pcl flagfile (--ortho_from_pcl_ prefix,
+    =false booleans) parses and runs verbatim with dataset overrides."""
+    import shutil
+
+    ref = ("/root/reference/aerial_mapper_demos/flags/"
+           "0-synthetic-cadastre-ortho-from-pcl.ff")
+    ff = str(tmp_path / "pcl.ff")
+    shutil.copy(ref, ff)
+    jpg = str(tmp_path / "ref_ff_pcl.jpg")
+    main_ortho_from_pcl.main([
+        f"--flagfile={ff}",
+        "--data_directory", dataset_dir, "--prefix_images", "image_",
+        "--filename_camera_rig", "camera_fixed_wing.yaml",
+        "--center_easting", "12", "--center_northing", "0",
+        "--delta_easting", "30", "--delta_northing", "24",
+        "--resolution", "1.0",
+        "--dense_pcl_use_every_nth_image", "1",
+        "--num_disparities", "16",
+        "--orthomosaic_jpg_filename", jpg,
+    ])
+    assert os.path.exists(jpg)
+
+
+def test_use_sgm_false_gflags_spelling():
+    """--use_SGM=false (the natural gflags way to select BM) must parse:
+    it expands to --no-use_SGM, which maps back to use_BM=True."""
+    from aerial_mapper_tpu.cli import common
+
+    p = common.base_parser("t")
+    common.add_stereo_flags(p)
+    argv = common.expand_flagfiles(
+        ["--data_directory", "/x", "--use_SGM=false"])
+    args = p.parse_args(argv)
+    assert args.use_BM is True
+    argv = common.expand_flagfiles(
+        ["--data_directory", "/x", "--use_SGM=true"])
+    args = p.parse_args(argv)
+    assert args.use_BM is False

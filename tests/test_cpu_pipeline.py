@@ -87,3 +87,39 @@ def test_cpu_pipeline_sgbm_matches_ground_truth():
     truth = np.asarray(SCENE.height(ce, cn))
     rmse = float(np.sqrt(np.mean((elev[cov] - truth[cov]) ** 2)))
     assert rmse < geom.resolution
+
+
+def test_triangulate_np_rotation_convention():
+    """Locks the rect-to-world rotation convention of the vectorized CPU
+    triangulation against the loop oracle using NON-ideal cameras (yawed/
+    pitched, tilted baseline): a transposed rotation here is meters off,
+    but an ideal nadir east-flying pair (the bench geometry) produces a
+    symmetric R_rect that hides the mistake."""
+    from aerial_mapper_tpu.testing.cpu_pipeline import _triangulate_np
+    from aerial_mapper_tpu.testing.numpy_ref import (
+        rectification_reference,
+        triangulate_reference,
+    )
+
+    K = np.array([[320.0, 0, 160], [0, 320.0, 120], [0, 0, 1]])
+
+    def rot(y, p, r):
+        cy, sy, cp, sp, cr, sr = (np.cos(y), np.sin(y), np.cos(p),
+                                  np.sin(p), np.cos(r), np.sin(r))
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+        return Rz @ Ry @ Rx
+
+    nadir = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1.0]])
+    R1 = nadir @ rot(0.05, 0.02, -0.01)
+    R2 = nadir @ rot(-0.03, 0.01, 0.02)
+    t1 = np.array([0.0, 0.0, 514.0])
+    t2 = np.array([6.0, 0.3, 514.2])
+    R_rect, _T1, _T2, baseline = rectification_reference(K, R1, R2, t1, t2)
+    disp = np.full((8, 10), 5.0)
+    gray = np.zeros((8, 10))
+    pts_oracle, _ = triangulate_reference(disp, gray, K, baseline, R_rect,
+                                          t1)
+    pts, _g, valid = _triangulate_np(disp, gray, K, baseline, R_rect, t1)
+    np.testing.assert_allclose(pts[valid], pts_oracle, atol=1e-9)

@@ -650,3 +650,28 @@ def test_geotiff_reads_foreign_padded_deflate_strip(tmp_path):
         f.write(bytes(buf))
     got, _, _ = read_geotiff(p1)
     np.testing.assert_array_equal(got, dem)
+
+
+def test_native_loader_decodes_interlaced_png(tmp_path):
+    """Adam7-interlaced PNGs decode identically to PIL through the native
+    loader (round-4 review: the row loop previously misread interlace-pass
+    rows as scanlines)."""
+    from PIL import Image
+
+    from aerial_mapper_tpu.io.native_loader import (
+        load_images_native,
+        native_loader_available,
+    )
+
+    if not native_loader_available():
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 255, (40, 56), dtype=np.uint8)
+    p = str(tmp_path / "interlaced.png")
+    Image.fromarray(arr).save(p, interlace=True)
+    # PIL read-back as the oracle (PNG gray decode is bit-identical)
+    oracle = np.array(Image.open(p).convert("L"), np.float32)
+    got = load_images_native([p], color=False)[0]
+    np.testing.assert_array_equal(np.asarray(got), oracle)
