@@ -269,6 +269,55 @@ def dataset_from_args(args) -> Dataset:
     )
 
 
+def add_multicam_flag(p: argparse.ArgumentParser):
+    """--all_cameras for the batch mapping demos that can fuse rig streams."""
+    p.add_argument(
+        "--all_cameras", action=argparse.BooleanOptionalAction, default=False,
+        help="Map with EVERY rig camera jointly: one image stream per "
+             "camera (a '{cam}' placeholder in --prefix_images locates "
+             "them), merged dense cloud, one best-angle ortho pass per "
+             "stream. The reference hardcodes camera 0 "
+             "(stereo.cpp:37-40); this is the framework extension that "
+             "uses the whole ncamera rig.")
+
+
+def datasets_from_args(args):
+    """Per-camera Dataset list for --all_cameras (None when unset or the
+    rig has a single camera — the single-stream paths are then exact)."""
+    if not getattr(args, "all_cameras", False):
+        return None
+    from aerial_mapper_tpu.pipeline.dataset import load_multicam_datasets
+
+    datasets = load_multicam_datasets(
+        args.data_directory,
+        args.filename_camera_rig,
+        args.filename_poses,
+        args.prefix_images,
+        pose_format=PoseFormat(args.pose_format),
+        color=getattr(args, "load_colored_images", False),
+        origin=args.origin,
+        extension=args.image_extension,
+        max_frames=args.max_frames,
+    )
+    return datasets if len(datasets) > 1 else None
+
+
+def maybe_refine_datasets(datasets, args):
+    """--refine_poses for the multicam list: refine on the primary stream,
+    share the refined BODY trajectory with every per-camera dataset (the
+    rig extrinsics stay fixed — a rig-constrained refinement)."""
+    import dataclasses as _dc
+
+    if datasets is None or not getattr(args, "refine_poses", False):
+        return datasets
+    refined0 = maybe_refine_poses(datasets[0], args)
+    return [
+        _dc.replace(d, quats_G_B=refined0.quats_G_B,
+                    trans_G_B=refined0.trans_G_B)
+        for d in datasets
+    ]
+
+
 def pipeline_config_from_args(args) -> PipelineConfig:
     grid = GridMapConfig(
         center_easting=getattr(args, "center_easting", 0.0),

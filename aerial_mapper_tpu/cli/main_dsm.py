@@ -23,13 +23,19 @@ def main(argv=None):
     p.add_argument("--color_palette", default="terrain",
                    help="Palette for --output_color_geotiff/--output_png.")
     common.add_refine_poses_flag(p)
+    common.add_multicam_flag(p)
     args = common.parse(p, argv)
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
     from aerial_mapper_tpu.pipeline.batch import run_dsm
 
-    dataset = common.dataset_from_args(args)
-    dataset = common.maybe_refine_poses(dataset, args)
+    datasets = common.datasets_from_args(args)
+    dataset = datasets[0] if datasets else common.dataset_from_args(args)
+    if datasets:
+        datasets = common.maybe_refine_datasets(datasets, args)
+        dataset = datasets[0]
+    else:
+        dataset = common.maybe_refine_poses(dataset, args)
     cfg = common.pipeline_config_from_args(args)
     cloud = None
     if args.point_cloud_filename:
@@ -40,6 +46,7 @@ def main(argv=None):
         output_layers_npz=args.output_layers_npz,
         output_report_html=args.report_html,
         utm_zone=args.utm_zone,
+        datasets=datasets,
     )
     if args.output_png:
         import numpy as np

@@ -35,6 +35,13 @@ def main(argv=None):
     p.add_argument("--color", action=argparse.BooleanOptionalAction,
                    help="Render RGB images (analytic hue tint).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_cameras", type=int, default=1,
+                   help="Rig size: cameras beyond 0 are tilted about the "
+                        "body x (flight) axis by ±camera_tilt_deg "
+                        "(alternating sides), and their streams land in "
+                        "cam<j>/image_<i>.jpg — load with "
+                        "--all_cameras --prefix_images 'cam{cam}/image_'.")
+    p.add_argument("--camera_tilt_deg", type=float, default=20.0)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -61,10 +68,27 @@ def main(argv=None):
         dist_params=(-0.28, 0.07, 1.8e-4, 7.6e-5) if args.with_distortion
         else (0.0, 0.0, 0.0, 0.0),
     )
+    # rig extrinsics: camera 0 nadir (identity); camera j > 0 pitched
+    # about the body x (flight/east) axis by ±camera_tilt_deg on
+    # alternating sides — an oblique-rig survey layout
+    R_B_Cs = []
+    for j in range(max(1, args.num_cameras)):
+        if j == 0:
+            R_B_Cs.append(np.eye(3))
+            continue
+        sign = 1.0 if j % 2 == 1 else -1.0
+        th = sign * np.deg2rad(args.camera_tilt_deg) * ((j + 1) // 2)
+        R_B_Cs.append(np.array(
+            [[1.0, 0.0, 0.0],
+             [0.0, np.cos(th), -np.sin(th)],
+             [0.0, np.sin(th), np.cos(th)]]
+        ))
     rig = CameraRig(
-        cameras=(cam,),
-        T_C_B_quats=np.array([[1.0, 0.0, 0.0, 0.0]]),
-        T_C_B_trans=np.zeros((1, 3)),
+        cameras=(cam,) * len(R_B_Cs),
+        T_C_B_quats=np.stack(
+            [_quat_from_matrix_np(R.T) for R in R_B_Cs]
+        ),
+        T_C_B_trans=np.zeros((len(R_B_Cs), 3)),
     )
     save_camera_rig(rig, os.path.join(args.output_directory,
                                       "camera_fixed_wing.yaml"))
@@ -80,18 +104,26 @@ def main(argv=None):
     save_poses_standard(os.path.join(args.output_directory, "opt_poses.txt"),
                         quats, ts)
 
-    for i, (R, t) in enumerate(zip(Rs, ts)):
-        img = render_image(
-            scene, cam, jnp.asarray(R, jnp.float32),
-            jnp.asarray(t, jnp.float32),
-            apply_distortion=args.with_distortion,
-            color=args.color,
-        )
-        save_image(os.path.join(args.output_directory, f"image_{i}.jpg"),
-                   np.asarray(img))
+    multicam = len(R_B_Cs) > 1
+    for j, R_B_C in enumerate(R_B_Cs):
+        if multicam:
+            cam_dir = os.path.join(args.output_directory, f"cam{j}")
+            os.makedirs(cam_dir, exist_ok=True)
+        else:
+            cam_dir = args.output_directory
+        for i, (R, t) in enumerate(zip(Rs, ts)):
+            img = render_image(
+                scene, cam,
+                jnp.asarray(R @ R_B_C, jnp.float32),
+                jnp.asarray(t, jnp.float32),
+                apply_distortion=args.with_distortion,
+                color=args.color,
+            )
+            save_image(os.path.join(cam_dir, f"image_{i}.jpg"),
+                       np.asarray(img))
 
-    print(f"Wrote {args.num_images} images + poses + rig to "
-          f"{args.output_directory}")
+    print(f"Wrote {len(R_B_Cs)} camera(s) x {args.num_images} images + "
+          f"poses + rig to {args.output_directory}")
 
 
 if __name__ == "__main__":

@@ -32,13 +32,19 @@ def main(argv=None):
     p.add_argument("--output_geotiff", default="/tmp/ortho.tif")
     p.add_argument("--output_layers_npz", default=None)
     common.add_refine_poses_flag(p)
+    common.add_multicam_flag(p)
     args = common.parse(p, _strip_prefix(argv))
 
     from aerial_mapper_tpu.io.pointcloud import load_point_cloud_txt
     from aerial_mapper_tpu.pipeline.batch import run_ortho_backward_grid
 
-    dataset = common.dataset_from_args(args)
-    dataset = common.maybe_refine_poses(dataset, args)
+    datasets = common.datasets_from_args(args)
+    if datasets:
+        datasets = common.maybe_refine_datasets(datasets, args)
+        dataset = datasets[0]
+    else:
+        dataset = common.maybe_refine_poses(
+            common.dataset_from_args(args), args)
     cfg = common.pipeline_config_from_args(args)
     cloud = None
     if args.load_point_cloud_from_file and args.point_cloud_filename:
@@ -50,6 +56,7 @@ def main(argv=None):
         output_layers_npz=args.output_layers_npz,
         output_report_html=args.report_html,
         utm_zone=args.utm_zone,
+        datasets=datasets,
     )
 
 

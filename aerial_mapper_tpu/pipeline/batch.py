@@ -173,10 +173,15 @@ def run_dense_pcl(
     cfg: PipelineConfig = PipelineConfig(),
     output_cloud_txt: Optional[str] = None,
     output_cloud_npz: Optional[str] = None,
+    datasets=None,
 ):
-    """Dense reconstruction demo (main-dense-pcl.cc:35-75)."""
+    """Dense reconstruction demo (main-dense-pcl.cc:35-75). ``datasets``
+    (optional per-camera list) merges every rig camera's stream."""
     timer = StageTimer()
-    points, intens, valid = _stereo_cloud(dataset, cfg, timer)
+    if datasets is not None and len(datasets) > 1:
+        points, intens, valid = multicam_cloud(datasets, cfg, timer)
+    else:
+        points, intens, valid = _stereo_cloud(dataset, cfg, timer)
     logger.info("dense_pcl: %d valid points", int(np.asarray(valid).sum()))
     if output_cloud_npz:
         save_points(output_cloud_npz, points, intens, valid)
@@ -226,14 +231,39 @@ def _crop_layers(layers: dict, geom: MapGeometry) -> dict:
     return {k: v[: geom.height] for k, v in layers.items()}
 
 
-def _resolve_cloud(dataset, cfg, timer, point_cloud=None):
+def _resolve_cloud(dataset, cfg, timer, point_cloud=None, datasets=None):
     if point_cloud is not None:
         points, intens = point_cloud
         points = jnp.asarray(points, jnp.float32)
         intens = jnp.asarray(intens, jnp.float32)
         valid = jnp.ones(points.shape[0], bool)
         return points, intens, valid
+    if datasets is not None and len(datasets) > 1:
+        return multicam_cloud(datasets, cfg, timer)
     return _stereo_cloud(dataset, cfg, timer)
+
+
+def multicam_cloud(datasets, cfg: PipelineConfig, timer: StageTimer):
+    """Merged dense cloud from every rig camera's image stream.
+
+    Each per-camera Dataset (``load_multicam_datasets``) runs the standard
+    virtual-stereo front-end against its OWN stream and camera-j poses
+    (T_G_Cj = T_G_B * T_B_Cj via the promoted rig slot); the world-frame
+    point buffers concatenate into one cloud for the DSM/ortho stages.
+    The reference cannot do this at all — its pipelines hardcode camera 0
+    of the loaded ncamera rig (stereo.cpp:37-40) — so multi-camera fusion
+    is a pure framework extension with no parity quirk to preserve.
+    """
+    parts = [_stereo_cloud(ds, cfg, timer) for ds in datasets]
+    points = jnp.concatenate([p for p, _, _ in parts], axis=0)
+    intens = jnp.concatenate([i for _, i, _ in parts], axis=0)
+    valid = jnp.concatenate([v for _, _, v in parts], axis=0)
+    logger.info(
+        "multicam: merged %d camera streams -> %d points (%s valid)",
+        len(parts), points.shape[0],
+        "/".join(str(int(np.asarray(v).sum())) for _, _, v in parts),
+    )
+    return points, intens, valid
 
 
 def run_dsm(
@@ -244,15 +274,19 @@ def run_dsm(
     output_layers_npz: Optional[str] = None,
     output_report_html: Optional[str] = None,
     utm_zone: int = 32,
+    datasets=None,
 ):
     """DSM demo (main-dsm.cc:46-111): cloud (given or generated) -> elevation
-    layer -> float32 GeoTiff."""
+    layer -> float32 GeoTiff. ``datasets`` (optional list of per-camera
+    Datasets from ``load_multicam_datasets``) fuses every rig camera's
+    stream into the cloud."""
     from aerial_mapper_tpu.utils.timing import log_config
 
     log_config("DSM", cfg.dsm)
     timer = StageTimer()
     geom = MapGeometry.from_config(cfg.grid)
-    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
+    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud,
+                                           datasets)
 
     layers = dict(create_map_state(geom).layers)
     mesh = _auto_mesh(geom, cfg)
@@ -309,16 +343,29 @@ def run_ortho_backward_grid(
     output_layers_npz: Optional[str] = None,
     output_report_html: Optional[str] = None,
     utm_zone: int = 32,
+    datasets=None,
 ):
     """Batch backward-grid demo (main-ortho-backward-grid.cc:66-145):
-    DSM first, then best-angle ortho texturing against all images."""
+    DSM first, then best-angle ortho texturing against all images.
+
+    ``datasets`` (optional list of per-camera Datasets): fuse every rig
+    camera's stream — merged cloud for the DSM, then one best-angle
+    texturing pass per stream over the same layers. The per-cell update
+    only replaces on a STRICTLY more-nadir observation (the incremental
+    contract, ortho-backward-grid.cc:90), so the passes compose exactly
+    like the reference's incremental batches; exact cross-camera angle
+    ties keep the earlier camera (operand order within one stream). The
+    ``observation_index`` layer uses global ids: stream j's image i maps
+    to ``sum(len(earlier streams)) + i``.
+    """
     from aerial_mapper_tpu.utils.timing import log_config
 
     log_config("Orthomosaic (backward grid)", cfg.ortho_backward)
     timer = StageTimer()
-    layers, geom = run_dsm(dataset, cfg, point_cloud=point_cloud)
+    layers, geom = run_dsm(dataset, cfg, point_cloud=point_cloud,
+                           datasets=datasets)
 
-    quats_c, trans_c = dataset.camera_poses()
+    streams = list(datasets) if datasets else [dataset]
     mesh = _auto_mesh(geom, cfg)
     with timer.stage(
         "ortho_backward", work_items=geom.height * geom.width / 1e6
@@ -345,45 +392,62 @@ def run_ortho_backward_grid(
                 elev_lo, elev_hi = e0 - 1e-3, e0 + 1e-3
             n_tiles = mesh.shape["tiles"]
             geom_pad, _ = pad_map_geometry(geom, n_tiles)
-            # HOST image copies for the cull: band_image_operands rebuilds
-            # the per-band layouts on the host, and feeding it the device
-            # stack would read the whole [N, H, W] back over the tunnel
-            host_images = np.stack(
-                [np.asarray(im, np.float32) for im in dataset.images]
-            )
-            banded = band_image_operands(
-                geom_pad, n_tiles, np.asarray(quats_c),
-                np.asarray(trans_c), host_images, dataset.rig.camera,
-                elev_min=elev_lo, elev_max=elev_hi,
-            )
             layers = shard_layers(
                 _pad_layers(layers, geom, geom_pad), mesh, "tiles"
             )
-            layers = sharded_backward_grid_update_banded(
-                layers, banded, geom_pad, dataset.rig.camera,
-                cfg.ortho_backward, mesh,
-            )
+            id_offset = 0
+            for ds in streams:
+                quats_c, trans_c = ds.camera_poses()
+                # HOST image copies for the cull: band_image_operands
+                # rebuilds the per-band layouts on the host, and feeding it
+                # the device stack would read the whole [N, H, W] back over
+                # the tunnel
+                host_images = np.stack(
+                    [np.asarray(im, np.float32) for im in ds.images]
+                )
+                banded = band_image_operands(
+                    geom_pad, n_tiles, np.asarray(quats_c),
+                    np.asarray(trans_c), host_images, ds.rig.camera,
+                    elev_min=elev_lo, elev_max=elev_hi,
+                )
+                if id_offset:
+                    banded = banded._replace(ids=jnp.where(
+                        banded.ids >= 0, banded.ids + id_offset, banded.ids
+                    ))
+                layers = sharded_backward_grid_update_banded(
+                    layers, banded, geom_pad, ds.rig.camera,
+                    cfg.ortho_backward, mesh,
+                )
+                kept = int((np.asarray(banded.ids) >= 0).sum())
+                logger.info(
+                    "ortho: row-band sharded over %d devices; band cull "
+                    "kept %d/%d image slots (slab [%.1f, %.1f])",
+                    n_tiles, kept, n_tiles * host_images.shape[0], elev_lo,
+                    elev_hi,
+                )
+                id_offset += host_images.shape[0]
             layers = _crop_layers(layers, geom)
-            kept = int((np.asarray(banded.ids) >= 0).sum())
-            logger.info(
-                "ortho: row-band sharded over %d devices; band cull kept "
-                "%d/%d image slots (slab [%.1f, %.1f])",
-                n_tiles, kept, n_tiles * host_images.shape[0], elev_lo,
-                elev_hi,
-            )
         else:
-            images = jnp.stack(
-                [jnp.asarray(im, jnp.float32) for im in dataset.images]
-            )
-            layers = backward_grid_update(
-                layers,
-                jnp.asarray(quats_c, jnp.float32),
-                jnp.asarray(trans_c, jnp.float32),
-                images,
-                geom,
-                dataset.rig.camera,
-                cfg.ortho_backward,
-            )
+            id_offset = 0
+            for ds in streams:
+                quats_c, trans_c = ds.camera_poses()
+                images = jnp.stack(
+                    [jnp.asarray(im, jnp.float32) for im in ds.images]
+                )
+                layers = backward_grid_update(
+                    layers,
+                    jnp.asarray(quats_c, jnp.float32),
+                    jnp.asarray(trans_c, jnp.float32),
+                    images,
+                    geom,
+                    ds.rig.camera,
+                    cfg.ortho_backward,
+                    image_ids=(
+                        jnp.arange(images.shape[0], dtype=jnp.int32)
+                        + id_offset
+                    ) if len(streams) > 1 else None,
+                )
+                id_offset += images.shape[0]
     if cfg.ortho_backward.colored_ortho:
         # colored_ortho packs RGB into float bits (grid_map's
         # colorVectorToValue convention); unpack for image/GeoTiff export.

@@ -1,0 +1,256 @@
+"""Multi-camera rig fusion: joint mapping from every rig camera's stream.
+
+The reference hardcodes camera 0 of the loaded ncamera rig at every call
+site (stereo.cpp:37-40; ortho-backward-grid.cc:230-233 converts body poses
+through T_C_B of one camera) — a multi-camera YAML loads but only one
+stream ever maps. This extension fuses all streams:
+``load_multicam_datasets`` -> per-camera Datasets sharing the body
+trajectory -> merged dense cloud (``multicam_cloud``) -> one best-angle
+ortho pass per stream with global ``observation_index`` ids.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aerial_mapper_tpu.camera import Camera
+from aerial_mapper_tpu.camera.rig import CameraRig, save_camera_rig
+from aerial_mapper_tpu.config import (
+    BlockMatchingConfig,
+    DsmConfig,
+    GridMapConfig,
+    PipelineConfig,
+    StereoConfig,
+)
+from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+from aerial_mapper_tpu.io.poses import _quat_from_matrix_np
+from aerial_mapper_tpu.pipeline.dataset import (
+    Dataset,
+    load_multicam_datasets,
+    per_camera_prefix,
+)
+from aerial_mapper_tpu.synth import (
+    SyntheticScene,
+    make_survey_poses,
+    render_image,
+)
+
+CAM = Camera(fx=224.0, fy=336.0, cx=112.0, cy=84.0, width=224, height=168)
+SCENE = SyntheticScene(base_elevation=414.0, relief_amplitude=3.0)
+TILT_DEG = 25.0  # camera 1 pitched north: footprint ~alt*tan(25) = 47 m off
+
+
+def _two_camera_rig():
+    """cam0 nadir (identity extrinsic), cam1 tilted about body x (east)."""
+    th = np.deg2rad(TILT_DEG)
+    # body frame = cam0 frame (x east, y -north, z down); R_B_C1 = Rx(th)
+    R_B_C1 = np.array(
+        [[1.0, 0.0, 0.0],
+         [0.0, np.cos(th), -np.sin(th)],
+         [0.0, np.sin(th), np.cos(th)]]
+    )
+    quats = np.stack([
+        np.array([1.0, 0.0, 0.0, 0.0]),
+        _quat_from_matrix_np(R_B_C1.T),  # T_C_B rotation = R_B_C^-1
+    ])
+    return CameraRig(
+        cameras=(CAM, CAM),
+        T_C_B_quats=quats,
+        T_C_B_trans=np.zeros((2, 3)),
+    ), R_B_C1
+
+
+def _make_datasets(n=8):
+    """Per-camera Datasets over one body trajectory, streams rendered with
+    each camera's true world pose T_G_Cj = T_G_B * T_B_Cj."""
+    rig, R_B_C1 = _two_camera_rig()
+    Rs, ts = make_survey_poses(n, altitude=514.0, spacing=6.0)
+    quats_b = np.asarray(matrix_to_quat(jnp.asarray(Rs)))
+    datasets = []
+    for j, R_B_C in enumerate([np.eye(3), R_B_C1]):
+        images = [
+            np.asarray(render_image(
+                SCENE, CAM,
+                jnp.asarray(R @ R_B_C, jnp.float32),
+                jnp.asarray(t, jnp.float32),
+            ))
+            for R, t in zip(Rs, ts)
+        ]
+        datasets.append(
+            Dataset(rig=rig.select(j), quats_G_B=quats_b, trans_G_B=ts,
+                    images=images)
+        )
+    return datasets
+
+
+def _config():
+    return PipelineConfig(
+        grid=GridMapConfig(center_easting=21.0, center_northing=25.0,
+                           delta_easting=42.0, delta_northing=64.0,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1, matcher="bm"),
+        bm=BlockMatchingConfig(num_disparities=32),
+        dsm=DsmConfig(interpolation_radius_sq=1.0,
+                      adaptive_interpolation=True),
+    )
+
+
+@pytest.fixture(scope="module")
+def multicam_run():
+    from aerial_mapper_tpu.pipeline.batch import (
+        run_dsm,
+        run_ortho_backward_grid,
+    )
+
+    datasets = _make_datasets()
+    cfg = _config()
+    layers_mc, geom = run_ortho_backward_grid(
+        datasets[0], cfg, datasets=datasets
+    )
+    layers_c0, _ = run_dsm(datasets[0], cfg)
+    return datasets, cfg, layers_mc, layers_c0, geom
+
+
+def test_multicam_extends_coverage(multicam_run):
+    """The tilted camera's strip (north of the flight line) is mapped only
+    in the fused run; the merged-cloud DSM strictly extends camera 0's."""
+    _, _, layers_mc, layers_c0, _ = multicam_run
+    cov_mc = np.isfinite(np.asarray(layers_mc["elevation"])).sum()
+    cov_c0 = np.isfinite(np.asarray(layers_c0["elevation"])).sum()
+    assert cov_mc > cov_c0 * 1.3, (cov_mc, cov_c0)
+
+
+def test_multicam_dsm_accuracy(multicam_run):
+    """Fused-cloud DSM (both streams, incl. the oblique one) stays within
+    one cell of the analytic surface on observed cells. The ~0.6 m bulk of
+    the error is this small-scale stereo config's subpixel disparity bias
+    — measured IDENTICAL in single-camera mode on the nadir strip, so the
+    fusion adds nothing (the oblique strip actually measures BETTER:
+    0.52 vs 0.71 m median)."""
+    from aerial_mapper_tpu.mapgrid import cell_centers
+
+    _, _, layers_mc, _, geom = multicam_run
+    elev = np.asarray(layers_mc["elevation"])
+    ce, cn = (np.asarray(a) for a in cell_centers(geom))
+    truth = np.asarray(SCENE.height(ce, cn))
+    obs = np.isfinite(elev)
+    err = np.abs(elev[obs] - truth[obs])
+    assert np.median(err) < geom.resolution, np.median(err)
+    assert np.sqrt(np.mean(err ** 2)) < 1.2 * geom.resolution
+
+
+def test_multicam_ortho_texture_and_ids(multicam_run):
+    """Ortho texture matches the scene on both strips; winners from the
+    second stream carry GLOBAL observation ids (>= len(stream 0))."""
+    datasets, _, layers_mc, _, geom = multicam_run
+    from aerial_mapper_tpu.mapgrid import cell_centers
+
+    ortho = np.asarray(layers_mc["ortho"])
+    obs_idx = np.asarray(layers_mc["observation_index"])
+    ce, cn = (np.asarray(a) for a in cell_centers(geom))
+    truth = np.asarray(SCENE.texture(ce, cn))
+    angle = np.asarray(layers_mc["elevation_angle"])
+    observed = angle > 0
+    assert observed.any()
+    err = np.abs(ortho[observed] - truth[observed])
+    assert np.median(err) < 8.0, np.median(err)
+    # cells north of the nadir footprint can only be textured by camera 1,
+    # whose ids are offset by the first stream's length
+    n0 = len(datasets[0].images)
+    far_north = observed & (cn > 40.0)
+    assert far_north.any()
+    assert (obs_idx[far_north] >= n0).all()
+    # nadir cells prefer the more-nadir camera 0 (strictly better angle)
+    under_line = observed & (np.abs(cn) < 5.0)
+    assert under_line.any()
+    assert (obs_idx[under_line] < n0).all()
+
+
+def test_multicam_merged_cloud_counts(multicam_run):
+    from aerial_mapper_tpu.pipeline.batch import multicam_cloud, _stereo_cloud
+    from aerial_mapper_tpu.utils.timing import StageTimer
+
+    datasets, cfg, _, _, _ = multicam_run
+    pts, intens, valid = multicam_cloud(datasets, cfg, StageTimer())
+    _, _, valid0 = _stereo_cloud(datasets[0], cfg, StageTimer())
+    assert pts.shape[0] == valid.shape[0] == intens.shape[0]
+    assert int(np.asarray(valid).sum()) > int(np.asarray(valid0).sum())
+
+
+def test_per_camera_prefix():
+    assert per_camera_prefix("cam{cam}/image_", 1) == "cam1/image_"
+    assert per_camera_prefix("image_", 0) == "image_"
+
+
+def test_load_multicam_datasets_roundtrip(tmp_path):
+    """Write a 2-camera dataset (rig YAML + poses + per-camera streams)
+    and load it back; single-stream prefix without a placeholder errors."""
+    from aerial_mapper_tpu.io.images import save_image
+    from aerial_mapper_tpu.io.poses import save_poses_standard
+
+    rig, _ = _two_camera_rig()
+    save_camera_rig(rig, str(tmp_path / "rig.yaml"))
+    n = 2
+    quats = np.tile([1.0, 0.0, 0.0, 0.0], (n, 1))
+    trans = np.arange(n * 3, dtype=np.float64).reshape(n, 3)
+    save_poses_standard(str(tmp_path / "poses.txt"), quats, trans)
+    rng = np.random.default_rng(0)
+    for j in range(2):
+        d = tmp_path / f"cam{j}"
+        d.mkdir()
+        for i in range(n):
+            save_image(str(d / f"image_{i}.png"),
+                       rng.integers(0, 255, (12, 16)).astype(np.uint8))
+    datasets = load_multicam_datasets(
+        str(tmp_path), "rig.yaml", "poses.txt", "cam{cam}/image_",
+        extension=".png",
+    )
+    assert len(datasets) == 2
+    for j, ds in enumerate(datasets):
+        assert len(ds.images) == n
+        assert ds.images[0].shape == (12, 16)
+        np.testing.assert_allclose(ds.trans_G_B, trans)
+        # camera j is promoted to the primary slot
+        np.testing.assert_allclose(
+            ds.rig.T_C_B_quats[0], rig.T_C_B_quats[j], atol=1e-12
+        )
+    with pytest.raises(ValueError, match="placeholder"):
+        load_multicam_datasets(
+            str(tmp_path), "rig.yaml", "poses.txt", "image_",
+            extension=".png",
+        )
+
+
+def test_cli_all_cameras_end_to_end(tmp_path):
+    """Generator --num_cameras 2 -> main_dsm --all_cameras: the fused run
+    covers more cells than camera 0 alone (same flags otherwise)."""
+    from aerial_mapper_tpu.cli import main_dsm, main_make_synthetic_dataset
+
+    data = tmp_path / "data"
+    main_make_synthetic_dataset.main([
+        "--output_directory", str(data),
+        "--num_images", "6", "--image_width", "96", "--image_height", "72",
+        "--focal_length", "96", "--spacing", "8",
+        "--num_cameras", "2", "--camera_tilt_deg", "25",
+    ])
+    assert (data / "cam1" / "image_3.jpg").exists()
+    base = [
+        "--data_directory", str(data),
+        "--prefix_images", "cam{cam}/image_",
+        "--center_easting", "20", "--center_northing", "20",
+        "--delta_easting", "40", "--delta_northing", "56",
+        "--resolution", "1.0",
+        "--dense_pcl_use_every_nth_image", "1",
+        "--num_disparities", "16",
+        "--interpolation_radius", "1.0",
+    ]
+    out_mc = str(tmp_path / "dsm_mc.tif")
+    main_dsm.main(base + ["--all_cameras", "--output_geotiff", out_mc])
+    out_c0 = str(tmp_path / "dsm_c0.tif")
+    main_dsm.main(base + ["--output_geotiff", out_c0])
+
+    from aerial_mapper_tpu.io.geotiff import read_geotiff
+
+    elev_mc = read_geotiff(out_mc)[0]
+    elev_c0 = read_geotiff(out_c0)[0]
+    assert np.isfinite(elev_mc).sum() > np.isfinite(elev_c0).sum()
