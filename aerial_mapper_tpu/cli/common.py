@@ -147,6 +147,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(deflate = zlib strips, what GDAL's "
                         "COMPRESS=DEFLATE produces; float DEM tiles "
                         "typically shrink 2-4x).")
+    p.add_argument("--geotiff_overviews", default="0",
+                   help="Internal reduced-resolution pyramid pages for "
+                        "every GeoTiff this run writes (what gdaladdo "
+                        "adds): an integer count of /2 levels, or 'auto' "
+                        "to halve until the largest dimension fits 256 px."
+                        " Default 0 = single page.")
     p.add_argument("--kernel_family", default="xla",
                    choices=["xla", "pallas"],
                    help="Compute-kernel family for every stage that has "
@@ -225,6 +231,11 @@ def parse(p: argparse.ArgumentParser, argv: Optional[List[str]] = None):
         from aerial_mapper_tpu.io.geotiff import set_default_compression
 
         set_default_compression(args.geotiff_compression)
+    ov = getattr(args, "geotiff_overviews", "0")
+    if ov not in ("0", 0):
+        from aerial_mapper_tpu.io.geotiff import set_default_overviews
+
+        set_default_overviews(ov if ov == "auto" else int(ov))
     return args
 
 

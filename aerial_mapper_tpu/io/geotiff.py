@@ -29,6 +29,11 @@ import numpy as np
 # ``compress`` explicitly (the CLIs set it from --geotiff_compression)
 DEFAULT_COMPRESSION = "none"
 
+# process-wide default overview policy: 0 = full-resolution page only
+# (byte-identical with earlier artifacts); the CLIs set it from
+# --geotiff_overviews
+DEFAULT_OVERVIEWS = 0
+
 
 def set_default_compression(kind: str) -> None:
     if kind not in ("none", "deflate"):
@@ -36,6 +41,49 @@ def set_default_compression(kind: str) -> None:
                          f"got {kind!r}")
     global DEFAULT_COMPRESSION
     DEFAULT_COMPRESSION = kind
+
+
+def set_default_overviews(overviews) -> None:
+    global DEFAULT_OVERVIEWS
+    DEFAULT_OVERVIEWS = _check_overviews(overviews)
+
+
+def _check_overviews(overviews):
+    if overviews in ("auto", None):
+        return overviews if overviews else 0
+    n = int(overviews)
+    if n < 0:
+        raise ValueError(f"overviews must be >= 0 or 'auto', got {overviews}")
+    return n
+
+
+def _downsample2(arr: np.ndarray) -> np.ndarray:
+    """One /2 overview level: 2x2 block mean.
+
+    float bands average only FINITE samples (an all-NaN block stays NaN —
+    unobserved DSM cells must not bleed zeros into the pyramid); integer
+    bands edge-pad odd dimensions and round the mean.
+    """
+    h, w = arr.shape[:2]
+    hh, ww = -(-h // 2), -(-w // 2)
+    pad = [(0, hh * 2 - h), (0, ww * 2 - w)] + [(0, 0)] * (arr.ndim - 2)
+    if arr.dtype.kind == "f":
+        a = np.pad(arr.astype(np.float64), pad, constant_values=np.nan)
+    else:
+        a = np.pad(arr, pad, mode="edge").astype(np.float64)
+    if arr.ndim == 2:
+        blocks = a.reshape(hh, 2, ww, 2).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(hh, ww, 4)
+    else:
+        s = arr.shape[2]
+        blocks = a.reshape(hh, 2, ww, 2, s).transpose(0, 2, 4, 1, 3)
+        blocks = blocks.reshape(hh, ww, s, 4)
+    cnt = np.isfinite(blocks).sum(axis=-1)
+    tot = np.where(np.isfinite(blocks), blocks, 0.0).sum(axis=-1)
+    mean = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
+    if arr.dtype.kind == "f":
+        return mean.astype(arr.dtype)
+    return np.round(mean).astype(arr.dtype)
 
 _TYPE_SHORT = 3
 _TYPE_LONG = 4
@@ -97,49 +145,34 @@ def _predict_decode(raw: bytes, rows: int, width: int, samples: int,
     return b.view(dtype)
 
 
-def write_geotiff(
-    filename: str,
-    array: np.ndarray,
+def _prep_band(arr: np.ndarray):
+    """(raw, bits, sample_format, photometric, samples) for an array."""
+    if arr.ndim == 2:
+        if arr.dtype == np.uint8:
+            return arr, (8,), (1,), 1, 1
+        return arr.astype("<f4"), (32,), (3,), 1, 1
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        raw = np.clip(arr, 0, 255).astype(np.uint8)
+        return raw, (8, 8, 8), (1, 1, 1), 2, 3
+    raise ValueError(f"Unsupported array shape {arr.shape}")
+
+
+def _page_block(
+    arr: np.ndarray,
+    base: int,
+    last_page: bool,
+    compress: str,
+    resolution: float,
     west: float,
     north: float,
-    resolution: float,
-    utm_zone: int = 32,
-    northern_hemisphere: bool = True,
-    compress: Optional[str] = None,
-) -> None:
-    """Write [H, W] (gray/float) or [H, W, 3] (color) as GeoTiff.
-
-    dtype uint8 -> byte bands; anything float with a [H, W] shape ->
-    float32 band (DEM). Geotransform: pixel (0, 0) upper-left corner at
-    (west, north), square pixels of ``resolution`` meters. ``compress``:
-    "none" (single uncompressed strip) or "deflate" (zlib strips of ~1 MB
-    of rows each, Compression=8); None takes the module default
-    (``set_default_compression``).
-    """
-    if compress is None:
-        compress = DEFAULT_COMPRESSION
-    if compress not in ("none", "deflate"):
-        raise ValueError(f"compress must be 'none' or 'deflate', "
-                         f"got {compress!r}")
-    arr = np.asarray(array)
-    if arr.ndim == 2:
-        samples = 1
-        if arr.dtype == np.uint8:
-            raw = arr
-            bits, sample_format = (8,), (1,)
-            photometric = 1
-        else:
-            raw = arr.astype("<f4")
-            bits, sample_format = (32,), (3,)
-            photometric = 1
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        samples = 3
-        raw = np.clip(arr, 0, 255).astype(np.uint8)
-        bits, sample_format = (8, 8, 8), (1, 1, 1)
-        photometric = 2
-    else:
-        raise ValueError(f"Unsupported array shape {arr.shape}")
-
+    geokeys,
+    reduced: bool,
+) -> bytes:
+    """One self-contained TIFF page (IFD + out-of-line payloads + strip
+    data) whose internal offsets are absolute against ``base``. The
+    next-IFD pointer is 0 for the last page, else the offset right after
+    this block (pages are emitted back-to-back)."""
+    raw, bits, sample_format, photometric, samples = _prep_band(arr)
     h, w = arr.shape[:2]
     row_bytes = w * samples * raw.dtype.itemsize
     if compress == "deflate":
@@ -162,13 +195,6 @@ def write_geotiff(
         strips = [raw.tobytes()]
         compression_code = 1
 
-    epsg = (32600 if northern_hemisphere else 32700) + utm_zone
-    geokeys = (
-        1, 1, 0, 3,  # version, revision, minor, number of keys
-        1024, 0, 1, 1,  # GTModelTypeGeoKey = Projected
-        1025, 0, 1, 1,  # GTRasterTypeGeoKey = PixelIsArea
-        3072, 0, 1, epsg,  # ProjectedCSTypeGeoKey
-    )
     pixel_scale = (float(resolution), float(resolution), 0.0)
     tiepoint = (0.0, 0.0, 0.0, float(west), float(north), 0.0)
 
@@ -193,11 +219,14 @@ def write_geotiff(
     }
     if predictor != 1:
         tags[317] = (_TYPE_SHORT, (predictor,))
+    if reduced:
+        # NewSubfileType = reduced-resolution image of the first page —
+        # the internal-overview convention GDAL/QGIS pyramids use
+        tags[254] = (_TYPE_LONG, (1,))
 
     num_tags = len(tags)
-    ifd_offset = 8
     ifd_size = 2 + num_tags * 12 + 4
-    extra_offset = ifd_offset + ifd_size
+    extra_offset = base + ifd_size
 
     # pass 1: lay out out-of-line tag payload POSITIONS (sizes depend only
     # on counts, which are final)
@@ -216,10 +245,12 @@ def write_geotiff(
         offsets.append(pos)
         pos += len(s)
     tags[273] = (_TYPE_LONG, tuple(offsets))
+    if pos % 2:
+        pos += 1  # keep the next page's IFD word-aligned
+    next_ifd = 0 if last_page else pos
 
-    # pass 2: emit
+    # pass 2: emit (offsets are absolute; the block is appended at base)
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
     out += struct.pack("<H", num_tags)
     for tag_id, (ttype, values) in sorted(tags.items()):
         count = len(values)
@@ -230,16 +261,87 @@ def write_geotiff(
         else:
             out += struct.pack("<HHII", tag_id, ttype, count,
                                extra_pos[tag_id])
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<I", next_ifd)
     for tag_id in sorted(extra_pos):
         ttype, values = tags[tag_id]
-        while len(out) < extra_pos[tag_id]:
+        while base + len(out) < extra_pos[tag_id]:
             out += b"\x00"
         out += _pack_values(ttype, values)
-    while len(out) < data_start:
+    while base + len(out) < data_start:
         out += b"\x00"
     for s in strips:
         out += s
+    while (base + len(out)) % 2 and not last_page:
+        out += b"\x00"
+    return bytes(out)
+
+
+def write_geotiff(
+    filename: str,
+    array: np.ndarray,
+    west: float,
+    north: float,
+    resolution: float,
+    utm_zone: int = 32,
+    northern_hemisphere: bool = True,
+    compress: Optional[str] = None,
+    overviews=None,
+) -> None:
+    """Write [H, W] (gray/float) or [H, W, 3] (color) as GeoTiff.
+
+    dtype uint8 -> byte bands; anything float with a [H, W] shape ->
+    float32 band (DEM). Geotransform: pixel (0, 0) upper-left corner at
+    (west, north), square pixels of ``resolution`` meters. ``compress``:
+    "none" (single uncompressed strip) or "deflate" (zlib strips of ~1 MB
+    of rows each, Compression=8); None takes the module default
+    (``set_default_compression``).
+
+    ``overviews``: internal reduced-resolution pyramid pages (what
+    ``gdaladdo`` adds for fast zoomed-out display of large mosaics —
+    the reference's GDAL exports carry none, aerial-mapper-io.cc:349-431):
+    an int = that many successive /2 levels, "auto" = halve until the
+    largest dimension fits 256 px, None = the module default
+    (``set_default_overviews``, factory 0 = single page, byte-identical
+    with earlier artifacts). Overview IFDs are chained behind the
+    full-resolution page with NewSubfileType=1 and correctly scaled geo
+    tags; 2x2 block means ignore NaN (unobserved DSM cells stay NaN).
+    """
+    if compress is None:
+        compress = DEFAULT_COMPRESSION
+    if compress not in ("none", "deflate"):
+        raise ValueError(f"compress must be 'none' or 'deflate', "
+                         f"got {compress!r}")
+    if overviews is None:
+        overviews = DEFAULT_OVERVIEWS
+    overviews = _check_overviews(overviews)
+    arr = np.asarray(array)
+    if arr.ndim not in (2, 3):
+        raise ValueError(f"Unsupported array shape {arr.shape}")
+
+    pages = [arr]
+    if overviews == "auto":
+        while max(pages[-1].shape[:2]) > 256:
+            pages.append(_downsample2(pages[-1]))
+    else:
+        for _ in range(overviews):
+            if max(pages[-1].shape[:2]) <= 1:
+                break
+            pages.append(_downsample2(pages[-1]))
+
+    epsg = (32600 if northern_hemisphere else 32700) + utm_zone
+    geokeys = (
+        1, 1, 0, 3,  # version, revision, minor, number of keys
+        1024, 0, 1, 1,  # GTModelTypeGeoKey = Projected
+        1025, 0, 1, 1,  # GTRasterTypeGeoKey = PixelIsArea
+        3072, 0, 1, epsg,  # ProjectedCSTypeGeoKey
+    )
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    for i, page in enumerate(pages):
+        out += _page_block(
+            page, base=len(out), last_page=(i == len(pages) - 1),
+            compress=compress, resolution=resolution * (2 ** i),
+            west=west, north=north, geokeys=geokeys, reduced=(i > 0),
+        )
     with open(filename, "wb") as f:
         f.write(bytes(out))
 
@@ -284,6 +386,7 @@ _TYPE_BYTE = 1
 
 def read_geotiff(
     filename: str,
+    page: int = 0,
 ) -> Tuple[np.ndarray, Tuple[float, float, float], Optional[int]]:
     """Read a GeoTiff/TIFF: either byte order, stripped (single or
     multi-strip, any RowsPerStrip) or tiled layout, uncompressed or
@@ -292,6 +395,10 @@ def read_geotiff(
     PIL-produced tiles, not just this module's own dialect (VERDICT r1
     #7; validated against PIL-written files incl. tiff_deflate and
     handcrafted big-endian/tiled fixtures in tests/test_io.py).
+
+    ``page`` follows the next-IFD chain (0 = full resolution; pages >= 1
+    are the internal overview pyramid ``write_geotiff(overviews=...)``
+    appends — their scaled resolution comes back in the geo tuple).
 
     Returns (array, (west, north, resolution), epsg or None).
     """
@@ -307,6 +414,11 @@ def read_geotiff(
     magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
     if magic != 42:
         raise ValueError("Not a TIFF (bad magic)")
+    for _ in range(page):
+        (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + n * 12)
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has no page {page}")
     (num_tags,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags = {}
     fmts = {_TYPE_BYTE: "B", _TYPE_SHORT: "H", _TYPE_LONG: "I",

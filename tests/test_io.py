@@ -675,3 +675,84 @@ def test_native_loader_decodes_interlaced_png(tmp_path):
     oracle = np.array(Image.open(p).convert("L"), np.float32)
     got = load_images_native([p], color=False)[0]
     np.testing.assert_array_equal(np.asarray(got), oracle)
+
+
+def test_geotiff_overview_pyramid(tmp_path):
+    """Internal overviews: chained reduced-resolution IFDs (the gdaladdo
+    convention — NewSubfileType=1, scaled geo tags), NaN-preserving 2x2
+    block means, PIL-readable as multipage, overviews=0 byte-layout
+    unchanged (single page, no next IFD)."""
+    from PIL import Image
+
+    from aerial_mapper_tpu.io.geotiff import _downsample2
+
+    rng = np.random.default_rng(11)
+    dem = rng.normal(414.0, 3.0, (137, 211)).astype(np.float32)
+    dem[10:20, 30:40] = np.nan
+    p = str(tmp_path / "pyr.tif")
+    write_geotiff(p, dem, west=100.0, north=200.0, resolution=0.5,
+                  overviews=3)
+    full, geo0, epsg = read_geotiff(p)
+    np.testing.assert_array_equal(np.nan_to_num(full), np.nan_to_num(dem))
+    assert geo0 == (100.0, 200.0, 0.5) and epsg == 32632
+    lvl = dem
+    for page in range(1, 4):
+        lvl = _downsample2(lvl)
+        got, geo, e = read_geotiff(p, page=page)
+        assert got.shape == lvl.shape and e == 32632
+        # same anchor, doubled pixel size per level
+        assert geo == (100.0, 200.0, 0.5 * 2 ** page)
+        np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(lvl),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(lvl))
+    with pytest.raises(ValueError, match="no page"):
+        read_geotiff(p, page=4)
+    im = Image.open(p)
+    assert im.n_frames == 4
+    im.seek(1)
+    assert im.size == (106, 69)
+
+    # single-page default: no overview chain, read_geotiff page-0 only
+    p0 = str(tmp_path / "flat.tif")
+    write_geotiff(p0, dem, west=100.0, north=200.0, resolution=0.5)
+    assert Image.open(p0).n_frames == 1
+
+    # auto mode halves until <= 256 px; composes with deflate; RGB too
+    rgb = rng.integers(0, 255, (300, 520, 3)).astype(np.uint8)
+    pa = str(tmp_path / "auto.tif")
+    write_geotiff(pa, rgb, west=0.0, north=0.0, resolution=1.0,
+                  overviews="auto", compress="deflate")
+    assert Image.open(pa).n_frames == 3  # 520 -> 260 -> 130
+    o1 = read_geotiff(pa, page=1)[0]
+    assert o1.shape == (150, 260, 3)
+
+    # an all-NaN 2x2 block stays NaN in the pyramid (unobserved cells
+    # must not bleed values)
+    hole = np.full((8, 8), np.nan, np.float32)
+    hole[:2, :2] = 5.0
+    ph = str(tmp_path / "hole.tif")
+    write_geotiff(ph, hole, west=0.0, north=0.0, resolution=1.0,
+                  overviews=2)
+    lv1 = read_geotiff(ph, page=1)[0]
+    assert lv1[0, 0] == 5.0 and np.isnan(lv1[2:, 2:]).all()
+
+
+def test_geotiff_overviews_cli_default(tmp_path):
+    """--geotiff_overviews plumbs through the CLI parse to every writer
+    call (module default), like --geotiff_compression."""
+    from aerial_mapper_tpu.cli import common
+    from aerial_mapper_tpu.io import geotiff as gt
+
+    p = common.base_parser("t")
+    try:
+        common.parse(p, ["--data_directory", str(tmp_path),
+                         "--geotiff_overviews", "2"])
+        assert gt.DEFAULT_OVERVIEWS == 2
+        path = str(tmp_path / "d.tif")
+        write_geotiff(path, np.zeros((16, 16), np.float32),
+                      west=0.0, north=0.0, resolution=1.0)
+        from PIL import Image
+
+        assert Image.open(path).n_frames == 3
+    finally:
+        gt.set_default_overviews(0)
