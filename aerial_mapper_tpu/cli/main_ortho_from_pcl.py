@@ -22,6 +22,7 @@ def main(argv=None):
     p.add_argument("--point_cloud_filename", default="")
     p.add_argument("--orthomosaic_jpg_filename", default="/tmp/ortho_pcl.jpg")
     p.add_argument("--output_geotiff", default=None)
+    common.add_multicam_flag(p)
     # the reference prefixes these flags with ortho_from_pcl_
     # (flags/0-synthetic-cadastre-ortho-from-pcl.ff)
     args = common.parse(p, common.strip_flag_prefix(argv,
@@ -32,10 +33,13 @@ def main(argv=None):
 
     cloud = None
     dataset = None
+    datasets = None
     if args.point_cloud_filename:
         cloud = load_point_cloud_txt(args.point_cloud_filename)
     else:
-        dataset = common.dataset_from_args(args)
+        datasets = common.datasets_from_args(args)
+        dataset = (datasets[0] if datasets
+                   else common.dataset_from_args(args))
     cfg = common.pipeline_config_from_args(args)
     run_ortho_from_pcl(
         dataset, cfg, point_cloud=cloud,
@@ -43,6 +47,7 @@ def main(argv=None):
         output_geotiff=args.output_geotiff,
         output_report_html=args.report_html,
         utm_zone=args.utm_zone,
+        datasets=datasets,
     )
 
 

@@ -603,11 +603,15 @@ def run_ortho_from_pcl(
     output_geotiff: Optional[str] = None,
     output_report_html: Optional[str] = None,
     utm_zone: int = 32,
+    datasets=None,
 ):
-    """Ortho-from-points demo (main-ortho-from-pcl.cc): IDW of intensities."""
+    """Ortho-from-points demo (main-ortho-from-pcl.cc): IDW of intensities.
+    ``datasets`` (per-camera list) rasterizes the merged multi-camera
+    cloud's intensities."""
     timer = StageTimer()
     geom = MapGeometry.from_config(cfg.grid)
-    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud)
+    points, intens, valid = _resolve_cloud(dataset, cfg, timer, point_cloud,
+                                           datasets)
     layers = dict(create_map_state(geom).layers)
     with timer.stage(
         "ortho_from_pcl", work_items=geom.height * geom.width / 1e6
