@@ -48,11 +48,13 @@ def main(argv=None):
     p.add_argument("--batch", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--filename_mosaic_output", default="/tmp/mosaic.jpg")
     p.add_argument("--output_geotiff", default=None)
+    common.add_multicam_flag(p)
     args = common.parse(p, _translate_reference_flags(argv))
 
     from aerial_mapper_tpu.pipeline.batch import run_ortho_forward_homography
 
-    dataset = common.dataset_from_args(args)
+    datasets = common.datasets_from_args(args)
+    dataset = datasets[0] if datasets else common.dataset_from_args(args)
     cfg = common.pipeline_config_from_args(args)
     run_ortho_forward_homography(
         dataset, cfg,
@@ -60,6 +62,7 @@ def main(argv=None):
         output_geotiff=args.output_geotiff,
         output_report_html=args.report_html,
         utm_zone=args.utm_zone,
+        datasets=datasets,
     )
 
 

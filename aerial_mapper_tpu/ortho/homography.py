@@ -349,7 +349,8 @@ def homography_mosaic_update(
     return _accumulate_fn(cam, cfg)(state, image, quat_G_C, t_G_C, cam, cfg)
 
 
-@partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion"))
+@partial(jax.jit, static_argnames=("cam", "cfg", "needs_undistortion",
+                                   "return_state"))
 def homography_mosaic_batch(
     images: jax.Array,  # [N, H, W]
     quats_G_C: jax.Array,  # [N, 4]
@@ -357,9 +358,13 @@ def homography_mosaic_batch(
     cam: Camera,
     cfg: OrthoHomographyConfig,
     needs_undistortion: bool = True,
+    return_state: bool = False,
 ) -> jax.Array:
     """Batch mode (ortho-forward-homography.cc:134-189): all images blended
-    in one pass, unobserved pixels set to 0. Returns the [Hm, Wm] mosaic."""
+    in one pass, unobserved pixels set to 0. Returns the [Hm, Wm] mosaic —
+    or, with ``return_state``, the raw feather accumulators: the blend is
+    a weighted SUM, so multi-stream callers (multi-camera rigs) add the
+    per-stream states and divide once."""
     state = create_mosaic_state(cfg)
     accumulate = _accumulate_fn(cam, cfg)
 
@@ -370,4 +375,4 @@ def homography_mosaic_batch(
         return accumulate(carry, image, quat, t, cam, cfg), None
 
     state, _ = jax.lax.scan(body, state, (images, quats_G_C, t_G_C))
-    return state.mosaic
+    return state if return_state else state.mosaic

@@ -945,7 +945,8 @@ def sharded_plane_sweep(
 
 
 def _homography_shard_body(images, quats, ts, valid, cam, cfg,
-                           needs_undistortion, axis_name):
+                           needs_undistortion, axis_name,
+                           return_state=False):
     from aerial_mapper_tpu.camera.undistort import undistort_image
     from aerial_mapper_tpu.ortho.homography import (
         _accumulate_fn,
@@ -971,13 +972,14 @@ def _homography_shard_body(images, quats, ts, valid, cam, cfg,
     num = jax.lax.psum(state.weighted_sum, axis_name)
     den = jax.lax.psum(state.weight_sum, axis_name)
     # the single-device blend epsilon, verbatim (MosaicState.mosaic)
-    return type(state0)(num, den).mosaic
+    st = type(state0)(num, den)
+    return st if return_state else st.mosaic
 
 
 @partial(
     jax.jit,
     static_argnames=("cam", "cfg", "mesh", "needs_undistortion",
-                     "axis_name"),
+                     "axis_name", "return_state"),
 )
 def sharded_homography_mosaic_batch(
     images: jax.Array,  # [N, H, W]
@@ -988,6 +990,7 @@ def sharded_homography_mosaic_batch(
     mesh: Mesh,
     needs_undistortion: bool = True,
     axis_name: str = "tiles",
+    return_state: bool = False,
 ):
     """Image-sharded forward-homography feather mosaic.
 
@@ -1018,6 +1021,7 @@ def sharded_homography_mosaic_batch(
         partial(
             _homography_shard_body, cam=cam, cfg=cfg,
             needs_undistortion=needs_undistortion, axis_name=axis_name,
+            return_state=return_state,
         ),
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),

@@ -489,18 +489,16 @@ def run_ortho_backward_grid(
     return layers, geom
 
 
-def run_ortho_forward_homography(
-    dataset: Dataset,
-    cfg: PipelineConfig = PipelineConfig(),
-    output_jpg: Optional[str] = None,
-    output_geotiff: Optional[str] = None,
-    output_report_html: Optional[str] = None,
-    utm_zone: int = 32,
-):
-    """Homography mosaic demo (main-ortho-forward-homography.cc:42-103)."""
-    timer = StageTimer()
+def _homography_stream_pass(dataset: Dataset, cfg: PipelineConfig,
+                            return_state: bool):
+    """One stream's feather pass: per-stream window sizing/validation,
+    sharded over devices when available. Returns the mosaic (single-stream
+    callers, unchanged behavior) or the raw accumulators
+    (``return_state``, for the multi-camera sum)."""
     quats_c, trans_c = dataset.camera_poses()
-    images = jnp.stack([jnp.asarray(im, jnp.float32) for im in dataset.images])
+    images = jnp.stack(
+        [jnp.asarray(im, jnp.float32) for im in dataset.images]
+    )
     hcfg = cfg.ortho_homography
     if hcfg.auto_window and hcfg.window_rows == 0 and hcfg.window_cols == 0:
         win = _homography_auto_window(
@@ -529,41 +527,80 @@ def run_ortho_forward_homography(
                 f"{len(dropped)} image(s) (first indices {dropped[:8]}); "
                 "enlarge the window or use auto_window"
             )
+    import jax
+
+    devices = jax.devices()
+    if cfg.auto_shard and len(devices) > 1:
+        from aerial_mapper_tpu.parallel.mesh import make_mesh
+        from aerial_mapper_tpu.parallel.sharded import (
+            sharded_homography_mosaic_batch,
+        )
+
+        mesh = make_mesh(("tiles",), shape=(len(devices),),
+                         devices=devices)
+        out = sharded_homography_mosaic_batch(
+            images,
+            jnp.asarray(quats_c, jnp.float32),
+            jnp.asarray(trans_c, jnp.float32),
+            dataset.rig.camera,
+            hcfg,
+            mesh,
+            needs_undistortion=dataset.rig.camera.dist_kind != "none",
+            return_state=return_state,
+        )
+        logger.info("homography mosaic: image-sharded over %d devices",
+                    len(devices))
+        return out
+    return homography_mosaic_batch(
+        images,
+        jnp.asarray(quats_c, jnp.float32),
+        jnp.asarray(trans_c, jnp.float32),
+        dataset.rig.camera,
+        hcfg,
+        needs_undistortion=dataset.rig.camera.dist_kind != "none",
+        return_state=return_state,
+    )
+
+
+def run_ortho_forward_homography(
+    dataset: Dataset,
+    cfg: PipelineConfig = PipelineConfig(),
+    output_jpg: Optional[str] = None,
+    output_geotiff: Optional[str] = None,
+    output_report_html: Optional[str] = None,
+    utm_zone: int = 32,
+    datasets=None,
+):
+    """Homography mosaic demo (main-ortho-forward-homography.cc:42-103).
+
+    ``datasets`` (per-camera list): the feather blend is a weighted SUM
+    over images (cv::detail::FeatherBlender semantics), so multi-camera
+    fusion folds each stream into shared (weighted_sum, weight_sum)
+    accumulators — one pass per stream with its own camera/window — and
+    divides once. Single-stream results are unchanged."""
+    timer = StageTimer()
+    streams = list(datasets) if datasets else [dataset]
     with timer.stage(
         "ortho_homography",
-        work_items=hcfg.width_mosaic_pixels * hcfg.height_mosaic_pixels / 1e6,
+        work_items=(cfg.ortho_homography.width_mosaic_pixels
+                    * cfg.ortho_homography.height_mosaic_pixels / 1e6),
     ):
-        import jax
-
-        devices = jax.devices()
-        if cfg.auto_shard and len(devices) > 1:
-            from aerial_mapper_tpu.parallel.mesh import make_mesh
-            from aerial_mapper_tpu.parallel.sharded import (
-                sharded_homography_mosaic_batch,
-            )
-
-            mesh = make_mesh(("tiles",), shape=(len(devices),),
-                             devices=devices)
-            mosaic = sharded_homography_mosaic_batch(
-                images,
-                jnp.asarray(quats_c, jnp.float32),
-                jnp.asarray(trans_c, jnp.float32),
-                dataset.rig.camera,
-                hcfg,
-                mesh,
-                needs_undistortion=dataset.rig.camera.dist_kind != "none",
-            )
-            logger.info("homography mosaic: image-sharded over %d devices",
-                        len(devices))
+        if len(streams) == 1:
+            mosaic = _homography_stream_pass(streams[0], cfg,
+                                             return_state=False)
         else:
-            mosaic = homography_mosaic_batch(
-                images,
-                jnp.asarray(quats_c, jnp.float32),
-                jnp.asarray(trans_c, jnp.float32),
-                dataset.rig.camera,
-                hcfg,
-                needs_undistortion=dataset.rig.camera.dist_kind != "none",
-            )
+            from aerial_mapper_tpu.ortho.homography import MosaicState
+
+            num = den = None
+            for ds in streams:
+                state = _homography_stream_pass(ds, cfg, return_state=True)
+                if num is None:
+                    num, den = state.weighted_sum, state.weight_sum
+                else:
+                    num = num + state.weighted_sum
+                    den = den + state.weight_sum
+            mosaic = MosaicState(num, den).mosaic
+    hcfg = cfg.ortho_homography
     mosaic = np.asarray(mosaic)
     if output_jpg:
         save_image(output_jpg, mosaic)

@@ -177,6 +177,44 @@ def test_multicam_merged_cloud_counts(multicam_run):
     assert int(np.asarray(valid).sum()) > int(np.asarray(valid0).sum())
 
 
+def test_multicam_homography_mosaic(multicam_run):
+    """Feather mosaic from both streams: the per-stream accumulator sum
+    extends the footprint north (camera 1's tilted strip) and matches the
+    analytic texture there; a one-element dataset list reduces to the
+    single-stream path."""
+    from aerial_mapper_tpu.config import OrthoHomographyConfig
+    from aerial_mapper_tpu.pipeline.batch import run_ortho_forward_homography
+    import dataclasses as dc
+
+    datasets, cfg, _, _, _ = multicam_run
+    hcfg = OrthoHomographyConfig(
+        ground_plane_elevation_m=414.0,
+        width_mosaic_pixels=48, height_mosaic_pixels=80,
+        resolution=1.0, origin=(21.0, 25.0, 0.0),
+    )
+    cfg2 = dc.replace(cfg, ortho_homography=hcfg)
+    mosaic_mc = run_ortho_forward_homography(
+        datasets[0], cfg2, datasets=datasets
+    )
+    mosaic_c0 = run_ortho_forward_homography(datasets[0], cfg2)
+    obs_mc = mosaic_mc > 0
+    obs_c0 = mosaic_c0 > 0
+    assert obs_mc.sum() > obs_c0.sum() * 1.2
+    # row r maps to northing origin_n + H/2 - (r + 0.5); camera 1's strip
+    # sits north of the flight line (cn ~ 33..60)
+    from aerial_mapper_tpu.synth import SyntheticScene  # noqa: F401
+
+    rows = np.arange(hcfg.height_mosaic_pixels)
+    cn = 25.0 + hcfg.height_mosaic_pixels / 2 * hcfg.resolution \
+        - (rows + 0.5) * hcfg.resolution
+    north_rows = (cn > 40.0) & (cn < 55.0)
+    assert obs_mc[north_rows].any() and not obs_c0[north_rows].any()
+    # single-element list == single-stream path exactly
+    m1 = run_ortho_forward_homography(datasets[0], cfg2,
+                                      datasets=[datasets[0]])
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(mosaic_c0))
+
+
 def test_per_camera_prefix():
     assert per_camera_prefix("cam{cam}/image_", 1) == "cam1/image_"
     assert per_camera_prefix("image_", 0) == "image_"
