@@ -177,6 +177,41 @@ def test_multicam_merged_cloud_counts(multicam_run):
     assert int(np.asarray(valid).sum()) > int(np.asarray(valid0).sum())
 
 
+def test_multicam_sharded_bit_identical(multicam_run):
+    """Given the SAME merged cloud, the sharded multicam run (8-device
+    row bands + per-stream banded ortho with global-id offsets) is
+    BIT-identical to the single-device multicam run — the repo's
+    sharding invariant extended to the multi-stream loop. (The stereo
+    front-end itself differs across the ring/sequential code paths by
+    float ULPs, so the cloud is precomputed once and fed to both.)"""
+    import dataclasses as dc
+
+    from aerial_mapper_tpu.pipeline.batch import (
+        multicam_cloud,
+        run_ortho_backward_grid,
+    )
+    from aerial_mapper_tpu.utils.timing import StageTimer
+
+    datasets, cfg, _, _, _ = multicam_run
+    pts, intens, valid = multicam_cloud(datasets, cfg, StageTimer())
+    v = np.asarray(valid)
+    cloud = (np.asarray(pts)[v], np.asarray(intens)[v])
+    layers_sh, _ = run_ortho_backward_grid(
+        datasets[0], cfg, point_cloud=cloud, datasets=datasets
+    )
+    layers_1dev, _ = run_ortho_backward_grid(
+        datasets[0], dc.replace(cfg, auto_shard=False), point_cloud=cloud,
+        datasets=datasets,
+    )
+    for name in layers_sh:
+        a = np.asarray(layers_sh[name])
+        b = np.asarray(layers_1dev[name])
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, nan=-1e30), np.nan_to_num(b, nan=-1e30),
+            err_msg=name,
+        )
+
+
 def test_multicam_homography_mosaic(multicam_run):
     """Feather mosaic from both streams: the per-stream accumulator sum
     extends the footprint north (camera 1's tilted strip) and matches the
