@@ -231,8 +231,12 @@ def parse(p: argparse.ArgumentParser, argv: Optional[List[str]] = None):
         from aerial_mapper_tpu.io.geotiff import set_default_compression
 
         set_default_compression(args.geotiff_compression)
-    ov = getattr(args, "geotiff_overviews", "0")
-    if ov not in ("0", 0):
+    ov = getattr(args, "geotiff_overviews", None)
+    if ov is not None:
+        # ALWAYS latch (including an explicit 0): in-process callers may
+        # parse several CLI runs in one interpreter, and a one-way latch
+        # would let an earlier run's pyramid setting leak into a later
+        # run that asked for single-page output (round-4 review)
         from aerial_mapper_tpu.io.geotiff import set_default_overviews
 
         set_default_overviews(ov if ov == "auto" else int(ov))
@@ -293,8 +297,14 @@ def add_multicam_flag(p: argparse.ArgumentParser):
 
 
 def datasets_from_args(args):
-    """Per-camera Dataset list for --all_cameras (None when unset or the
-    rig has a single camera — the single-stream paths are then exact)."""
+    """Per-camera Dataset list for --all_cameras (None when unset).
+
+    A single-camera rig returns its one already-loaded Dataset as a
+    1-element list (the drivers' stream loop reduces to the single-stream
+    path exactly; reloading via ``dataset_from_args`` would decode every
+    image a second time). ``--camera_index`` selects the PRIMARY stream
+    (list slot 0) — the one ``--refine_poses`` runs bundle adjustment on
+    and the one single-stream fallbacks consume."""
     if not getattr(args, "all_cameras", False):
         return None
     from aerial_mapper_tpu.pipeline.dataset import load_multicam_datasets
@@ -310,7 +320,17 @@ def datasets_from_args(args):
         extension=args.image_extension,
         max_frames=args.max_frames,
     )
-    return datasets if len(datasets) > 1 else None
+    idx = getattr(args, "camera_index", 0)
+    if idx:
+        if not 0 <= idx < len(datasets):
+            raise ValueError(
+                f"--camera_index {idx} out of range "
+                f"({len(datasets)} rig cameras)"
+            )
+        datasets = [datasets[idx]] + [
+            d for j, d in enumerate(datasets) if j != idx
+        ]
+    return datasets
 
 
 def maybe_refine_datasets(datasets, args):

@@ -30,12 +30,12 @@ def main(argv=None):
     from aerial_mapper_tpu.pipeline.batch import run_dsm
 
     datasets = common.datasets_from_args(args)
-    dataset = datasets[0] if datasets else common.dataset_from_args(args)
     if datasets:
         datasets = common.maybe_refine_datasets(datasets, args)
         dataset = datasets[0]
     else:
-        dataset = common.maybe_refine_poses(dataset, args)
+        dataset = common.maybe_refine_poses(
+            common.dataset_from_args(args), args)
     cfg = common.pipeline_config_from_args(args)
     cloud = None
     if args.point_cloud_filename:

