@@ -102,6 +102,25 @@ def add_reference_compat_flags(p: argparse.ArgumentParser):
                        help="accepted for reference flagfile compatibility")
 
 
+def _overviews_arg(value: str):
+    """argparse type for --geotiff_overviews: int >= 0 or 'auto' — a typo
+    like 'Auto' or '2x' becomes a usage error, not a raw ValueError
+    traceback from the latch call after parsing succeeded (ADVICE r4)."""
+    if value == "auto":
+        return value
+    try:
+        n = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer count of /2 levels or 'auto', got {value!r}"
+        )
+    if n < 0:
+        raise argparse.ArgumentTypeError(
+            f"overview count must be >= 0, got {n}"
+        )
+    return n
+
+
 def base_parser(description: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=description)
     p.add_argument("--data_directory", required=True,
@@ -147,7 +166,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(deflate = zlib strips, what GDAL's "
                         "COMPRESS=DEFLATE produces; float DEM tiles "
                         "typically shrink 2-4x).")
-    p.add_argument("--geotiff_overviews", default="0",
+    p.add_argument("--geotiff_overviews", default=0, type=_overviews_arg,
                    help="Internal reduced-resolution pyramid pages for "
                         "every GeoTiff this run writes (what gdaladdo "
                         "adds): an integer count of /2 levels, or 'auto' "
@@ -293,7 +312,11 @@ def add_multicam_flag(p: argparse.ArgumentParser):
              "them), merged dense cloud, one best-angle ortho pass per "
              "stream. The reference hardcodes camera 0 "
              "(stereo.cpp:37-40); this is the framework extension that "
-             "uses the whole ncamera rig.")
+             "uses the whole ncamera rig. With --refine_poses, bundle "
+             "adjustment runs on the PRIMARY stream only (a documented "
+             "rig-constrained approximation), and the global "
+             "observation_index id mapping follows stream order — both "
+             "depend on which stream --camera_index promotes to primary.")
 
 
 def datasets_from_args(args):
@@ -341,6 +364,14 @@ def maybe_refine_datasets(datasets, args):
 
     if datasets is None or not getattr(args, "refine_poses", False):
         return datasets
+    logging.getLogger("aerial_mapper_tpu").info(
+        "refine_poses (--all_cameras): refining on the PRIMARY stream "
+        "(rig camera %d of %d) only; the refined body trajectory is "
+        "shared with every stream, rig extrinsics stay fixed (a "
+        "rig-constrained approximation — other cameras' observations do "
+        "not constrain the trajectory)",
+        getattr(args, "camera_index", 0), len(datasets),
+    )
     refined0 = maybe_refine_poses(datasets[0], args)
     return [
         _dc.replace(d, quats_G_B=refined0.quats_G_B,

@@ -57,20 +57,28 @@ def _check_overviews(overviews):
     return n
 
 
-def _downsample2(arr: np.ndarray) -> np.ndarray:
+def _downsample2(arr: np.ndarray, nodata=None) -> np.ndarray:
     """One /2 overview level: 2x2 block mean.
 
     float bands average only FINITE samples (an all-NaN block stays NaN —
     unobserved DSM cells must not bleed zeros into the pyramid); integer
-    bands edge-pad odd dimensions and round the mean.
+    bands edge-pad odd dimensions and round the mean. ``nodata`` extends
+    the same exclusion to integer bands whose unobserved cells carry a
+    sentinel value (e.g. the homography mosaic's zeroed background,
+    ortho-forward-homography.cc:177-186): sentinel samples are excluded
+    from the mean and an all-sentinel block stays the sentinel, so
+    overview levels do not darken footprint edges (ADVICE r4).
     """
     h, w = arr.shape[:2]
     hh, ww = -(-h // 2), -(-w // 2)
     pad = [(0, hh * 2 - h), (0, ww * 2 - w)] + [(0, 0)] * (arr.ndim - 2)
-    if arr.dtype.kind == "f":
+    is_float = arr.dtype.kind == "f"
+    if is_float:
         a = np.pad(arr.astype(np.float64), pad, constant_values=np.nan)
     else:
         a = np.pad(arr, pad, mode="edge").astype(np.float64)
+        if nodata is not None:
+            a = np.where(a == nodata, np.nan, a)
     if arr.ndim == 2:
         blocks = a.reshape(hh, 2, ww, 2).transpose(0, 2, 1, 3)
         blocks = blocks.reshape(hh, ww, 4)
@@ -81,8 +89,10 @@ def _downsample2(arr: np.ndarray) -> np.ndarray:
     cnt = np.isfinite(blocks).sum(axis=-1)
     tot = np.where(np.isfinite(blocks), blocks, 0.0).sum(axis=-1)
     mean = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
-    if arr.dtype.kind == "f":
+    if is_float:
         return mean.astype(arr.dtype)
+    if nodata is not None:
+        mean = np.where(cnt > 0, mean, float(nodata))
     return np.round(mean).astype(arr.dtype)
 
 _TYPE_SHORT = 3
@@ -286,6 +296,7 @@ def write_geotiff(
     northern_hemisphere: bool = True,
     compress: Optional[str] = None,
     overviews=None,
+    overview_nodata=None,
 ) -> None:
     """Write [H, W] (gray/float) or [H, W, 3] (color) as GeoTiff.
 
@@ -305,6 +316,9 @@ def write_geotiff(
     with earlier artifacts). Overview IFDs are chained behind the
     full-resolution page with NewSubfileType=1 and correctly scaled geo
     tags; 2x2 block means ignore NaN (unobserved DSM cells stay NaN).
+    ``overview_nodata``: integer sentinel excluded from overview means
+    the same way NaN is for floats (e.g. 0 for the homography mosaic's
+    zeroed background) — the full-resolution page is written unchanged.
     """
     if compress is None:
         compress = DEFAULT_COMPRESSION
@@ -321,12 +335,12 @@ def write_geotiff(
     pages = [arr]
     if overviews == "auto":
         while max(pages[-1].shape[:2]) > 256:
-            pages.append(_downsample2(pages[-1]))
+            pages.append(_downsample2(pages[-1], nodata=overview_nodata))
     else:
         for _ in range(overviews):
             if max(pages[-1].shape[:2]) <= 1:
                 break
-            pages.append(_downsample2(pages[-1]))
+            pages.append(_downsample2(pages[-1], nodata=overview_nodata))
 
     epsg = (32600 if northern_hemisphere else 32700) + utm_zone
     geokeys = (
@@ -414,11 +428,21 @@ def read_geotiff(
     magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
     if magic != 42:
         raise ValueError("Not a TIFF (bad magic)")
+    # the next-IFD chain walk bounds-checks every offset against the
+    # buffer: a truncated/corrupt file raises the function's ValueError
+    # contract, not a raw struct.error (ADVICE r4)
     for _ in range(page):
+        if not 0 < ifd_off <= len(buf) - 2:
+            raise ValueError("truncated TIFF page chain")
         (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
-        (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + n * 12)
+        next_off = ifd_off + 2 + n * 12
+        if next_off + 4 > len(buf):
+            raise ValueError("truncated TIFF page chain")
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, next_off)
         if ifd_off == 0:
             raise ValueError(f"TIFF has no page {page}")
+    if not 0 < ifd_off <= len(buf) - 2:
+        raise ValueError("truncated TIFF page chain")
     (num_tags,) = struct.unpack_from(bo + "H", buf, ifd_off)
     tags = {}
     fmts = {_TYPE_BYTE: "B", _TYPE_SHORT: "H", _TYPE_LONG: "I",

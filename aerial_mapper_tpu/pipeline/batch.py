@@ -609,10 +609,13 @@ def run_ortho_forward_homography(
     if output_geotiff:
         west = hcfg.origin[0] - hcfg.width_mosaic_pixels / 2 * hcfg.resolution
         north = hcfg.origin[1] + hcfg.height_mosaic_pixels / 2 * hcfg.resolution
+        # overview_nodata=0: the batch blend zeroes unobserved pixels
+        # (ortho-forward-homography.cc:177-186), so pyramid levels must
+        # not average that black background into footprint edges
         write_geotiff(
             output_geotiff, np.clip(mosaic, 0, 255).astype(np.uint8),
             west=west, north=north, resolution=hcfg.resolution,
-            utm_zone=utm_zone,
+            utm_zone=utm_zone, overview_nodata=0,
         )
     if output_report_html:
         from aerial_mapper_tpu.io.report import write_html_report

@@ -766,3 +766,65 @@ def test_geotiff_overviews_cli_default(tmp_path):
         assert Image.open(path0).n_frames == 1
     finally:
         gt.set_default_overviews(0)
+
+
+def test_geotiff_overview_nodata_and_corrupt_chain(tmp_path):
+    """ADVICE r4 fixes: (1) integer overview levels exclude a declared
+    nodata sentinel from the 2x2 means (the homography mosaic's zeroed
+    background must not darken footprint edges in the pyramid); (2) a
+    corrupt/truncated next-IFD chain raises the ValueError contract, not
+    a raw struct.error; (3) a bad --geotiff_overviews value is a usage
+    error at parse time."""
+    import struct
+
+    # (1) nodata-aware integer overviews
+    mosaic = np.zeros((8, 8), np.uint8)
+    mosaic[:4, :4] = 200  # observed block surrounded by zeroed background
+    p = str(tmp_path / "nod.tif")
+    write_geotiff(p, mosaic, west=0.0, north=0.0, resolution=1.0,
+                  overviews=2, overview_nodata=0)
+    lv1 = read_geotiff(p, page=1)[0]
+    # observed blocks average only observed samples; background stays 0
+    assert (lv1[:2, :2] == 200).all()
+    assert (lv1[2:, 2:] == 0).all()
+    # without the sentinel, a half-covered block at the edge would darken
+    p2 = str(tmp_path / "plain.tif")
+    half = np.zeros((4, 4), np.uint8)
+    half[0, 0] = 200  # 1 observed of 4 in the top-left 2x2 block
+    write_geotiff(p2, half, west=0.0, north=0.0, resolution=1.0,
+                  overviews=1)
+    assert read_geotiff(p2, page=1)[0][0, 0] == 50  # darkened (documented)
+    p3 = str(tmp_path / "sent.tif")
+    write_geotiff(p3, half, west=0.0, north=0.0, resolution=1.0,
+                  overviews=1, overview_nodata=0)
+    assert read_geotiff(p3, page=1)[0][0, 0] == 200  # excluded
+
+    # (2) corrupt page chain: point the next-IFD offset past the buffer
+    dem = np.zeros((6, 6), np.float32)
+    pc = str(tmp_path / "chain.tif")
+    write_geotiff(pc, dem, west=0.0, north=0.0, resolution=1.0,
+                  overviews=1)
+    with open(pc, "rb") as f:
+        buf = bytearray(f.read())
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    struct.pack_into("<I", buf, ifd_off + 2 + n * 12, len(buf) + 999)
+    bad = str(tmp_path / "bad.tif")
+    with open(bad, "wb") as f:
+        f.write(bytes(buf))
+    with pytest.raises(ValueError, match="truncated TIFF page chain"):
+        read_geotiff(bad, page=1)
+    # truncated file: first IFD offset beyond the buffer
+    with open(str(tmp_path / "trunc.tif"), "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, 10_000))
+    with pytest.raises(ValueError, match="truncated TIFF page chain"):
+        read_geotiff(str(tmp_path / "trunc.tif"))
+
+    # (3) parser-level validation of --geotiff_overviews
+    from aerial_mapper_tpu.cli import common
+
+    parser = common.base_parser("t")
+    for bad_val in ("Auto", "2x", "-1"):
+        with pytest.raises(SystemExit):
+            parser.parse_args(["--data_directory", str(tmp_path),
+                               "--geotiff_overviews", bad_val])
