@@ -300,13 +300,18 @@ def _run_incremental_sharded(
     main-ortho-backward-grid-incremental.cc:143-166, and this is that
     contract at mesh scale with per-device image bytes shrinking).
 
-    Memory profile: delivering exact per-update states to a DEFERRED
-    ``on_update`` requires holding each update's layer set until its
-    window validates — up to ``check_every`` + 1 (snapshot) layer sets
-    alive per window, ~(check_every+1) x 9 x H x W x 4 bytes across the
-    mesh. For very large maps lower ``check_every`` (more readbacks,
-    less retention) or pass ``on_update=None`` (nothing retained beyond
-    the snapshot)."""
+    Memory profile: deferred ``on_update`` payloads are staged to HOST
+    memory as they are recorded (VERDICT r4 #6) — each update's cropped
+    layer set starts an async d2h copy immediately and resolves to numpy
+    one update later (the copy gets a full update step of wall-clock to
+    complete, so the resolve rarely blocks the dispatch stream). Device
+    retention is therefore O(1) layer sets regardless of ``check_every``:
+    the window snapshot plus at most one in-flight copy. Host retention
+    is up to ``check_every`` numpy layer sets (9 x H x W x 4 bytes each)
+    — host RAM, not HBM. Callbacks consequently receive numpy arrays in
+    this mode. Multi-process meshes skip the staging (a rank cannot
+    materialize the full global array) and keep device references — the
+    earlier (check_every+1)-sets-on-device profile applies there."""
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
     from aerial_mapper_tpu.parallel.sharded import (
         band_image_operands,
@@ -446,7 +451,36 @@ def _run_incremental_sharded(
     win_ovf = jnp.int32(0)
     win_lo = jnp.float32(jnp.inf)
     win_hi = jnp.float32(-jnp.inf)
-    pending = []  # deferred on_update payloads: (i, cropped layers)
+    pending = []  # resolved deferred payloads: (i, layers dict)
+    staged = None  # (i, cropped device layers) with an async d2h started
+
+    def flush_staged():
+        """Resolve the in-flight host copy to numpy and drop the device
+        references (frees the staged layer set's HBM)."""
+        nonlocal staged
+        if staged is not None:
+            si, cropped = staged
+            pending.append(
+                (si, {k: np.asarray(v) for k, v in cropped.items()})
+            )
+            staged = None
+
+    def stage_pending(i, cropped):
+        """Record a deferred on_update payload: start its d2h copy now,
+        resolve it at the NEXT record (or window close) so the copy
+        overlaps a full update step. Multi-process mode keeps device
+        references (global arrays are not rank-materializable)."""
+        nonlocal staged
+        flush_staged()
+        if multiproc:
+            pending.append((i, cropped))
+            return
+        for v in cropped.values():
+            try:
+                v.copy_to_host_async()
+            except AttributeError:
+                pass
+        staged = (i, cropped)
 
     def accumulate(diag):
         nonlocal win_ovf, win_lo, win_hi
@@ -507,7 +541,12 @@ def _run_incremental_sharded(
                     lo = jnp.minimum(lo, diag.elev_min)
                     hi = jnp.maximum(hi, diag.elev_max)
                 if on_update is not None:
-                    redo_pending.append((i, crop(state_r[0])))
+                    # replay is the rare error path: resolve to host
+                    # immediately (same O(1) device retention contract)
+                    c = crop(state_r[0])
+                    redo_pending.append((i, c if multiproc else {
+                        k: np.asarray(v) for k, v in c.items()
+                    }))
             n_ovf, r_lo, r_hi = _read_scalars(ovf, lo, hi)
             if n_ovf == 0:
                 state = state_r
@@ -531,6 +570,7 @@ def _run_incremental_sharded(
         Updates the slab from the (validated) measured elevation range and
         flushes the deferred on_update callbacks."""
         nonlocal slab, capacity_factor, pending
+        flush_staged()
         if win_records:
             overflow, lo, hi = read_window()
             bad_slab = (
@@ -581,7 +621,7 @@ def _run_incremental_sharded(
         win_records.append((i, frame_ids))
         win_culled = win_culled or use_cull
         if on_update is not None:
-            pending.append((i, crop(state[0])))
+            stage_pending(i, crop(state[0]))
         num_updates += 1
         if len(win_records) >= check_every:
             with timer.stage("incremental_validate"):
