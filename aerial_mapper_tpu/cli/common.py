@@ -209,9 +209,14 @@ def add_stereo_flags(p: argparse.ArgumentParser):
                         "reference's mode); 'plane_sweep' = N-view "
                         "elevation-plane sweep (quality extension, "
                         "stereo/plane_sweep.py).")
-    p.add_argument("--ps_z_min", type=float, default=374.0,
-                   help="plane-sweep elevation range lower bound (m)")
-    p.add_argument("--ps_z_max", type=float, default=454.0)
+    p.add_argument("--ps_z_min", type=float, default=None,
+                   help="plane-sweep elevation range lower bound (m). "
+                        "Default: derived automatically from a cheap "
+                        "full-range BM prepass (robust percentiles of "
+                        "triangulated z + margin) so the planes bracket "
+                        "the actual terrain.")
+    p.add_argument("--ps_z_max", type=float, default=None,
+                   help="upper bound (m); default auto like --ps_z_min")
     p.add_argument("--ps_num_planes", type=int, default=48)
     p.add_argument("--ps_num_neighbors", type=int, default=2)
     p.add_argument("--ps_neighbor_spacing", type=int, default=1,
@@ -398,8 +403,8 @@ def pipeline_config_from_args(args) -> PipelineConfig:
         z_max=getattr(args, "stereo_z_max", None),
     )
     plane_sweep = PlaneSweepConfig(
-        z_min=getattr(args, "ps_z_min", 374.0),
-        z_max=getattr(args, "ps_z_max", 454.0),
+        z_min=getattr(args, "ps_z_min", None),
+        z_max=getattr(args, "ps_z_max", None),
         num_planes=getattr(args, "ps_num_planes", 48),
         num_neighbors=getattr(args, "ps_num_neighbors", 2),
         neighbor_spacing=getattr(args, "ps_neighbor_spacing", 1),

@@ -145,10 +145,17 @@ class PlaneSweepConfig:
     stereo.cpp:149-193). Sweeps ``num_planes`` world-ELEVATION planes in
     [z_min, z_max] against ``num_neighbors`` views per reference frame —
     see stereo/plane_sweep.py. An opt-in quality mode: ~M x K x H x W
-    gather cost per reference view vs the BM fast path's 10 ms/pair."""
+    gather cost per reference view vs the BM fast path's 10 ms/pair.
 
-    z_min: float = 374.0
-    z_max: float = 454.0
+    ``z_min``/``z_max`` = None (default) derives the missing bound
+    automatically from a cheap full-range BM prepass on a few pairs
+    (robust percentiles of the triangulated z, widened by a margin —
+    ``stereo.plane_sweep.auto_z_range``); planes that miss the terrain
+    would otherwise silently degrade elevations (VERDICT r4 #4). Hand-set
+    both bounds to skip the prepass."""
+
+    z_min: Optional[float] = None
+    z_max: Optional[float] = None
     num_planes: int = 48
     num_neighbors: int = 2
     # sequence stride between a reference and its neighbor views:

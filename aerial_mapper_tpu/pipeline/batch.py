@@ -76,6 +76,17 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
             # samples land at distorted positions in undistorted images
             ps_cam = ps_cam._replace(dist_kind="none",
                                      dist_params=(0.0, 0.0, 0.0, 0.0))
+        from aerial_mapper_tpu.stereo.plane_sweep import (
+            resolve_z_range,
+            warn_boundary_pileup,
+        )
+
+        # unset --ps_z_min/--ps_z_max: derive the sweep range from a BM
+        # prepass so the planes bracket the actual terrain (VERDICT r4 #4)
+        ps_cfg = resolve_z_range(
+            cfg.plane_sweep, images, Rs, trans_c, ps_cam, bm_cfg=cfg.bm,
+            use_every_nth=cfg.stereo.use_every_nth_image,
+        )
         devices = _jax.devices()
         if cfg.auto_shard and len(devices) > 1:
             from aerial_mapper_tpu.parallel.mesh import make_mesh
@@ -87,7 +98,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
             )
 
             ps_ops = prepare_plane_sweep_operands(
-                images, Rs, trans_c, cfg=cfg.plane_sweep,
+                images, Rs, trans_c, cfg=ps_cfg,
                 use_every_nth=cfg.stereo.use_every_nth_image,
                 pad_to_multiple=len(devices),
             )
@@ -95,7 +106,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
                              devices=devices)
             with timer.stage("dense_pcl", work_items=len(images)):
                 points, intens, valid = sharded_plane_sweep(
-                    ps_ops, ps_cam, cfg.plane_sweep, mesh,
+                    ps_ops, ps_cam, ps_cfg, mesh,
                 )
             logger.info(
                 "dense_pcl: %d plane-sweep reference views sharded over "
@@ -110,9 +121,10 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
             with timer.stage("dense_pcl", work_items=len(images)):
                 points, intens, valid = process_sequence_plane_sweep(
                     images, Rs, trans_c, ps_cam,
-                    cfg=cfg.plane_sweep,
+                    cfg=ps_cfg,
                     use_every_nth=cfg.stereo.use_every_nth_image,
                 )
+        warn_boundary_pileup(points, valid, ps_cfg)
         return points.reshape(-1, 3), intens.reshape(-1), valid.reshape(-1)
     import jax
 

@@ -288,3 +288,75 @@ def test_neighbor_spacing_selection():
     assert _neighbor_sets(9, [8], 2, spacing=3) == [[5, 2]]
     # spacing larger than the sequence yields what exists
     assert _neighbor_sets(3, [0], 2, spacing=5) == [[]]
+
+
+def test_auto_z_range_brackets_terrain():
+    """VERDICT r4 #4: with z_min/z_max unset, the BM-prepass auto range
+    brackets the synthetic terrain (base 414 +- 5 m relief) with margin,
+    stays robust to the prepass's disparity-outlier tail, and the DSM
+    pipeline runs end-to-end with NO hand-set z flags at the same
+    accuracy bar."""
+    import dataclasses
+
+    from aerial_mapper_tpu.stereo.plane_sweep import (
+        auto_z_range,
+        resolve_z_range,
+        warn_boundary_pileup,
+    )
+
+    Rs, ts, images = _survey()
+    lo, hi = auto_z_range(images, Rs, ts, CAM)
+    assert lo < 409.0 - 1.0 and hi > 419.0 + 1.0, (lo, hi)
+    # margin is bounded: the range must not balloon to the outlier tail
+    assert hi - lo < 80.0, (lo, hi)
+
+    # resolve_z_range is a no-op when both bounds are set...
+    cfg_set = PlaneSweepConfig(z_min=399.0, z_max=429.0)
+    assert resolve_z_range(cfg_set, images, Rs, ts, CAM) is cfg_set
+    # ...and fills only the missing bound otherwise
+    cfg_half = resolve_z_range(
+        PlaneSweepConfig(z_min=400.0), images, Rs, ts, CAM)
+    assert cfg_half.z_min == 400.0 and cfg_half.z_max == hi
+
+    # end-to-end: the default (auto) config through run_dsm
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.mapgrid.grid import cell_centers
+    from aerial_mapper_tpu.pipeline.batch import run_dsm
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+
+    rig = CameraRig(cameras=(CAM,),
+                    T_C_B_quats=np.array([[1.0, 0, 0, 0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    quats = np.asarray(matrix_to_quat(jnp.asarray(Rs, jnp.float32)),
+                       np.float64)
+    ds = Dataset(rig=rig, quats_G_B=quats, trans_G_B=np.asarray(ts),
+                 images=[np.asarray(im) for im in images])
+    cfg = PipelineConfig(
+        auto_shard=False,
+        grid=GridMapConfig(center_easting=16.0, center_northing=0.0,
+                           delta_easting=60.0, delta_northing=50.0,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1, densifier="plane_sweep"),
+        plane_sweep=PlaneSweepConfig(num_neighbors=2, max_cost=8.0),
+        dsm=DsmConfig(interpolation_radius_sq=2.0),
+    )
+    layers, geom = run_dsm(ds, cfg)
+    elev = np.asarray(layers["elevation"])
+    fin = np.isfinite(elev)
+    assert fin.mean() > 0.9
+    ce, cn = cell_centers(geom)
+    true_h = np.asarray(SCENE.height(ce, cn))
+    rmse = float(np.sqrt(np.mean((elev[fin] - true_h[fin]) ** 2)))
+    assert rmse < 1.0, rmse
+
+    # pile-up warning: a range that clips the terrain from above triggers
+    # it; the auto range does not
+    pts = np.stack([ce.ravel(), cn.ravel(), true_h.ravel()], axis=1)
+    v = np.ones(pts.shape[0], bool)
+    clip_cfg = PlaneSweepConfig(z_min=380.0, z_max=412.0, num_planes=33)
+    f_lo, f_hi = warn_boundary_pileup(pts, v, clip_cfg)
+    assert f_hi > 0.5
+    ok_cfg = dataclasses.replace(clip_cfg, z_min=lo, z_max=hi)
+    f_lo2, f_hi2 = warn_boundary_pileup(pts, v, ok_cfg)
+    assert f_lo2 < 0.05 and f_hi2 < 0.05
