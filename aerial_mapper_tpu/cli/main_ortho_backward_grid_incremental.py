@@ -63,6 +63,7 @@ def main(argv=None):
     p.add_argument("--slab_margin", type=float, default=20.0,
                    help="Meters added around the measured elevation range "
                         "to form the next window's cull slab.")
+    common.add_multicam_flag(p)
     args = common.parse(p, _strip_prefix(argv))
 
     import os
@@ -72,7 +73,8 @@ def main(argv=None):
     from aerial_mapper_tpu.io.images import save_image
     from aerial_mapper_tpu.pipeline.incremental import run_incremental
 
-    dataset = common.dataset_from_args(args)
+    datasets = common.datasets_from_args(args)
+    dataset = datasets[0] if datasets else common.dataset_from_args(args)
     cfg = common.pipeline_config_from_args(args)
 
     preview_http = None
@@ -121,6 +123,7 @@ def main(argv=None):
         on_update=on_update, initial_layers=initial_layers,
         start_frame=args.start_frame, cull_images=args.band_cull,
         check_every=args.check_every, slab_margin_m=args.slab_margin,
+        datasets=datasets,
     )
     save_image(args.orthomosaic_jpg_filename, np.asarray(layers["ortho"]))
     if args.output_layers_npz:

@@ -148,13 +148,13 @@ def sharded_dsm_update(
     return fn(elevation, points, valid)
 
 
-def _ortho_band_update(band_layers, quats, ts, images, geom, cam, cfg,
-                       axis_name):
+def _ortho_band_update(band_layers, quats, ts, images, image_ids, geom,
+                       cam, cfg, axis_name):
     band_h = band_layers["elevation_angle"].shape[0]
     row0 = jax.lax.axis_index(axis_name) * band_h
     return backward_grid_update(
         band_layers, quats, ts, images, geom, cam, cfg,
-        row_offset=row0.astype(jnp.float32),
+        row_offset=row0.astype(jnp.float32), image_ids=image_ids,
     )
 
 
@@ -208,19 +208,23 @@ def sharded_backward_grid_update(
     cfg: OrthoBackwardGridConfig,
     mesh: Mesh,
     axis_name: str = "tiles",
+    image_ids=None,
 ) -> dict:
     """Row-band-sharded backward-grid ortho (cells are independent, so the
-    only distribution cost is the replicated image broadcast)."""
+    only distribution cost is the replicated image broadcast).
+    ``image_ids`` (optional replicated [M] int32): explicit global
+    observation ids (the multicam drivers' convention); None keeps the
+    positional 0..M-1 ids."""
     layer_spec = {k: P(axis_name, None) for k in layers}
     fn = jax.shard_map(
         partial(_ortho_band_update, geom=geom, cam=cam, cfg=cfg,
                 axis_name=axis_name),
         mesh=mesh,
-        in_specs=(layer_spec, P(), P(), P()),
+        in_specs=(layer_spec, P(), P(), P(), P()),
         out_specs=layer_spec,
         check_vma=False,
     )
-    return fn(layers, quats_G_C, t_G_C, images)
+    return fn(layers, quats_G_C, t_G_C, images, image_ids)
 
 
 # ---------------------------------------------------------------------------

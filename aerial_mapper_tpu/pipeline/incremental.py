@@ -108,6 +108,35 @@ def _frame_stream(dataset: Dataset, prestage: bool, start: int = 0):
             yield i, jnp.asarray(dataset.images[i], jnp.float32)
 
 
+def _frame_streams(streams, prestage: bool, start: int = 0):
+    """Multi-stream analogue of ``_frame_stream``: yields
+    ``(frame_index, [frame_per_stream])`` — each rig camera's frame i
+    'arrives' together (synchronized rig capture)."""
+    its = [_frame_stream(ds, prestage, start) for ds in streams]
+    for items in zip(*its):
+        yield items[0][0], [frame for _i, frame in items]
+
+
+def _validate_streams(streams):
+    """Multicam stream list sanity: equal lengths and one shared body
+    trajectory (load_multicam_datasets guarantees both; hand-built lists
+    must too, or the per-update pairing would silently mix frames)."""
+    n = streams[0].num_frames
+    for s, ds in enumerate(streams[1:], start=1):
+        if ds.num_frames != n:
+            raise ValueError(
+                f"multicam stream {s} has {ds.num_frames} frames, "
+                f"stream 0 has {n} — streams must be synchronized"
+            )
+        if not (np.allclose(ds.quats_G_B, streams[0].quats_G_B)
+                and np.allclose(ds.trans_G_B, streams[0].trans_G_B)):
+            raise ValueError(
+                f"multicam stream {s} carries a different body "
+                "trajectory than stream 0 — per-camera datasets must "
+                "share the rig's body poses"
+            )
+
+
 def _resume_state(dataset: Dataset, cfg: PipelineConfig, start_frame: int,
                   update_every_nth: int):
     """(prev, prev_stereo) for a resumed stream: the frame kept at the
@@ -127,6 +156,53 @@ def _resume_state(dataset: Dataset, cfg: PipelineConfig, start_frame: int,
     return prev, _stereo_image_from(frame, dataset, cfg)
 
 
+def _interleaved_multicam_ring(pair_ops_list):
+    """S per-stream single-pair ``PairOperands`` -> one valid-masked
+    ``RingPairOperands`` with 2S-1 slots.
+
+    The ring layout reconstructs pair j's right frame from slot j+1's
+    left frame — true for consecutive pairs of ONE stream, not across
+    streams. Interleaving [L0, R0, L1, R1, .. L_{S-1}] (tail = R_{S-1})
+    keeps that property for the REAL pairs at even slots (slot 2s: left
+    L_s, next slot's frame is R_s) while the cross-stream filler slots
+    at odd indices (R_s matched against L_{s+1}) carry ``pair_valid=
+    False`` and contribute no points — so one fused ``sharded_map_step``
+    routes ALL streams' pairs as a single merged cloud (the multicam
+    batch composition per update, VERDICT r4 #5). S=1 reduces to exactly
+    the single-stream ring (one slot, no fillers)."""
+    from aerial_mapper_tpu.parallel.sharded import RingPairOperands
+
+    s_count = len(pair_ops_list)
+    frames, valid = [], []
+    fields = {f: [] for f in ("T1_inv", "T2_inv", "corners_rect",
+                              "R_G_C_rect", "t_G_C1", "baseline")}
+
+    def push(ops, ok):
+        for f in fields:
+            fields[f].append(getattr(ops, f)[0])
+        valid.append(ok)
+
+    for s, ops in enumerate(pair_ops_list):
+        frames.append(ops.image1[0])
+        push(ops, True)
+        if s < s_count - 1:
+            # filler slot: left = R_s, right = L_{s+1}; operands are the
+            # real pair's (any value — the slot's output is masked)
+            frames.append(ops.image2[0])
+            push(ops, False)
+    return RingPairOperands(
+        frames=jnp.stack(frames),
+        tail=pair_ops_list[-1].image2[0],
+        T1_inv=jnp.stack(fields["T1_inv"]),
+        T2_inv=jnp.stack(fields["T2_inv"]),
+        corners_rect=jnp.stack(fields["corners_rect"]),
+        R_G_C_rect=jnp.stack(fields["R_G_C_rect"]),
+        t_G_C1=jnp.stack(fields["t_G_C1"]),
+        baseline=jnp.stack(fields["baseline"]),
+        pair_valid=jnp.asarray(valid),
+    )
+
+
 def run_incremental(
     dataset: Dataset,
     cfg: PipelineConfig = PipelineConfig(),
@@ -139,6 +215,7 @@ def run_incremental(
     check_every: int = 8,
     slab_margin_m: float = 20.0,
     route_capacity_factor: float = 2.0,
+    datasets=None,
 ):
     """Stream the sequence; returns the final (layers, geom).
 
@@ -192,10 +269,14 @@ def run_incremental(
                 f"initial_layers shapes {bad} do not match the configured "
                 f"{geom.height}x{geom.width} grid"
             )
+    streams = list(datasets) if datasets else [dataset]
+    if len(streams) > 1:
+        _validate_streams(streams)
+    multicam = len(streams) > 1
     mesh = _incremental_mesh(cfg)
     if mesh is not None:
         return _run_incremental_sharded(
-            dataset, cfg, geom, mesh, update_every_nth, on_update,
+            streams, cfg, geom, mesh, update_every_nth, on_update,
             prestage_images, initial_layers, start_frame,
             cull_images=cull_images, check_every=check_every,
             slab_margin_m=slab_margin_m,
@@ -204,80 +285,106 @@ def run_incremental(
 
     from aerial_mapper_tpu.io.poses import _rot_matrix_np
 
-    cam = dataset.rig.camera
+    n_frames = streams[0].num_frames
     layers = dict(create_map_state(geom).layers)
     if initial_layers is not None:
         layers.update(
             {k: jnp.asarray(v) for k, v in initial_layers.items()}
         )
-    quats_c, trans_c = dataset.camera_poses()
-    Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
+    poses = [ds.camera_poses() for ds in streams]  # [(quats_c, trans_c)]
+    Rs_s = [np.stack([_rot_matrix_np(q) for q in qc]) for qc, _t in poses]
 
     timer = StageTimer()
-    images_subset = []
-    quats_subset, trans_subset = [], []
-    # frame kept at the previous update + its matcher-ready device image
-    prev, prev_stereo = _resume_state(dataset, cfg, start_frame,
-                                      update_every_nth)
+    images_subset = [[] for _ in streams]
+    # frames kept at the previous update + their matcher-ready images
+    prev = None
+    prev_stereo = [None] * len(streams)
+    for s, ds in enumerate(streams):
+        prev, prev_stereo[s] = _resume_state(ds, cfg, start_frame,
+                                             update_every_nth)
     num_updates = 0
 
-    for i, frame in _frame_stream(dataset, prestage_images, start_frame):
-        images_subset.append(frame)
-        quats_subset.append(quats_c[i])
-        trans_subset.append(trans_c[i])
+    for i, frames in _frame_streams(streams, prestage_images, start_frame):
+        for s, frame in enumerate(frames):
+            images_subset[s].append(frame)
 
         if (i + 1) % update_every_nth != 0:
             continue
 
-        cur_stereo = _stereo_image_from(frame, dataset, cfg)
-        # stereo against the frame kept at the previous update (the
-        # stereo.addFrame previous-frame chain, stereo.cpp:127-147); the
+        cur_stereo = [
+            _stereo_image_from(frame, ds, cfg)
+            for frame, ds in zip(frames, streams)
+        ]
+        # stereo against the frames kept at the previous update (the
+        # stereo.addFrame previous-frame chain, stereo.cpp:127-147) — one
+        # pair per stream, MERGED into a single DSM update (the batch
+        # driver's multicam_cloud composition applied per window); the
         # first update has no previous frame and skips the DSM delta
         if prev is not None:
-            ops = prepare_pair_operands(
-                cam.K, Rs[[prev, i]], trans_c[[prev, i]],
-                [prev_stereo, cur_stereo],
-            )
             with timer.stage("incremental_dsm"):
-                pts, _intens, valid = process_pairs_batched(
-                    ops, cam, matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
-                    sgm_cfg=cfg.sgm, batch_chunk=1,
-                )
                 from aerial_mapper_tpu.stereo.batched import filter_points_z
 
-                valid = filter_points_z(pts, valid, cfg.stereo.z_min,
-                                        cfg.stereo.z_max)
+                all_pts, all_valid = [], []
+                for s, ds in enumerate(streams):
+                    quats_c, trans_c = poses[s]
+                    ops = prepare_pair_operands(
+                        ds.rig.camera.K, Rs_s[s][[prev, i]],
+                        trans_c[[prev, i]],
+                        [prev_stereo[s], cur_stereo[s]],
+                    )
+                    pts, _intens, valid = process_pairs_batched(
+                        ops, ds.rig.camera, matcher=cfg.stereo.matcher,
+                        bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
+                    )
+                    valid = filter_points_z(pts, valid, cfg.stereo.z_min,
+                                            cfg.stereo.z_max)
+                    all_pts.append(pts.reshape(-1, 3))
+                    all_valid.append(valid.reshape(-1))
                 layers = update_elevation_layer(
-                    layers, pts.reshape(-1, 3), valid.reshape(-1), geom,
-                    cfg.dsm,
+                    layers, jnp.concatenate(all_pts),
+                    jnp.concatenate(all_valid), geom, cfg.dsm,
                 )
 
         with timer.stage("incremental_ortho"):
-            layers = backward_grid_update(
-                layers,
-                jnp.asarray(np.asarray(quats_subset), jnp.float32),
-                jnp.asarray(np.asarray(trans_subset), jnp.float32),
-                jnp.stack(images_subset),
-                geom,
-                cam,
-                cfg.ortho_backward,
-            )
+            # one best-angle pass per stream; multicam carries GLOBAL
+            # observation ids (stream s's frame j -> s*n_frames + j, the
+            # batch driver's convention) so the fused observation_index
+            # matches run_ortho_backward_grid's. Single-stream keeps the
+            # reference's subset-relative ids (parity:
+            # ortho-backward-grid.cc indexes the passed batch).
+            frame_lo = i - len(images_subset[0]) + 1
+            for s, ds in enumerate(streams):
+                quats_c, trans_c = poses[s]
+                sub = slice(frame_lo, i + 1)
+                layers = backward_grid_update(
+                    layers,
+                    jnp.asarray(quats_c[sub], jnp.float32),
+                    jnp.asarray(trans_c[sub], jnp.float32),
+                    jnp.stack(images_subset[s]),
+                    geom,
+                    ds.rig.camera,
+                    cfg.ortho_backward,
+                    image_ids=(
+                        jnp.arange(frame_lo, i + 1, dtype=jnp.int32)
+                        + s * n_frames
+                    ) if multicam else None,
+                )
         prev = i
         prev_stereo = cur_stereo
         num_updates += 1
         if on_update is not None:
             on_update(i, layers, geom)
-        images_subset.clear()
-        quats_subset.clear()
-        trans_subset.clear()
+        for sub_list in images_subset:
+            sub_list.clear()
 
-    logger.info("incremental: %d map updates", num_updates)
+    logger.info("incremental: %d map updates (%d camera streams)",
+                num_updates, len(streams))
     logger.info(timer.report())
     return layers, geom
 
 
 def _run_incremental_sharded(
-    dataset: Dataset,
+    streams,
     cfg: PipelineConfig,
     geom: MapGeometry,
     mesh,
@@ -299,6 +406,18 @@ def _run_incremental_sharded(
     the reference re-rasterizes against only the new image subset,
     main-ortho-backward-grid-incremental.cc:143-166, and this is that
     contract at mesh scale with per-device image bytes shrinking).
+
+    ``streams``: per-camera Dataset list (length 1 = the classic single-
+    stream mode, bit-identical to before). Multicam (VERDICT r4 #5): each
+    update runs ONE stereo pair per stream — the pairs interleave into a
+    single valid-masked ring so the fused step routes the MERGED cloud in
+    one pass (``_interleaved_multicam_ring``) — then one banded best-angle
+    ortho pass per stream with GLOBAL observation ids (stream s's frame j
+    -> s*n_frames + j, the batch driver's convention at
+    pipeline/batch.py:399-428). The fused stereo triangulates through
+    stream 0's intrinsics, so every stream's camera must share
+    (fx, fy, cx, cy, W, H); heterogeneous rigs get a clear error and can
+    run --no-auto_shard (per-stream intrinsics) instead.
 
     Memory profile: deferred ``on_update`` payloads are staged to HOST
     memory as they are recorded (VERDICT r4 #6) — each update's cropped
@@ -324,7 +443,21 @@ def _run_incremental_sharded(
         sharded_map_step,
     )
 
-    cam = dataset.rig.camera
+    cam = streams[0].rig.camera
+    multicam = len(streams) > 1
+    n_frames = streams[0].num_frames
+    if multicam:
+        for s, ds in enumerate(streams[1:], start=1):
+            c = ds.rig.camera
+            if (c.fx, c.fy, c.cx, c.cy, c.width, c.height) != (
+                    cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height):
+                raise ValueError(
+                    f"sharded multicam incremental requires every stream "
+                    f"to share stream 0's intrinsics (fused-step "
+                    f"triangulation is static in one camera); stream {s} "
+                    "differs — run with auto_shard=False for per-stream "
+                    "intrinsics"
+                )
     n_devices = mesh.devices.size
     n_tiles = mesh.shape["tiles"]
     geom_pad, pad_rows = pad_map_geometry(geom, n_tiles)
@@ -337,8 +470,8 @@ def _run_incremental_sharded(
             for k, v in initial_layers.items()
         })
     layers = shard_layers(start, mesh, "tiles")
-    quats_c, trans_c = dataset.camera_poses()
-    Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
+    poses = [ds.camera_poses() for ds in streams]  # [(quats_c, trans_c)]
+    Rs_s = [np.stack([_rot_matrix_np(q) for q in qc]) for qc, _t in poses]
 
     # multi-process meshes need globally-addressable operands: every rank
     # streams the same frames (per-host datasets are identical replicas in
@@ -359,8 +492,11 @@ def _run_incremental_sharded(
         )
 
     timer = StageTimer()
-    prev, prev_stereo = _resume_state(dataset, cfg, start_frame,
-                                      update_every_nth)
+    prev = None
+    prev_stereo = [None] * len(streams)
+    for s, ds in enumerate(streams):
+        prev, prev_stereo[s] = _resume_state(ds, cfg, start_frame,
+                                             update_every_nth)
     num_updates = 0
     capacity_factor = route_capacity_factor
     # cull slab (lo, hi) host floats; None = no trustworthy slab yet.
@@ -381,7 +517,12 @@ def _run_incremental_sharded(
             return ls
         return {k: v[: geom.height] for k, v in ls.items()}
 
-    def make_banded(q_np, t_np, imgs_dev, frame_ids, use_cull):
+    def make_banded(s, imgs_dev, frame_ids, use_cull):
+        """Stream s's per-band (or replicated) image layout for one
+        update's subset, with GLOBAL observation ids under multicam."""
+        quats_c, trans_c = poses[s]
+        q_np = np.asarray(quats_c[frame_ids])
+        t_np = np.asarray(trans_c[frame_ids])
         if use_cull and slab is not None:
             # rebuild the banded layouts from the HOST copies: the cull
             # reorders/pads the stack on the host, so feeding it the
@@ -390,52 +531,82 @@ def _run_incremental_sharded(
             # padded capacity (a compiled shape) so cull tightness
             # drifting by one image does not recompile the fused step.
             host_imgs = np.stack([
-                np.asarray(dataset.images[j], np.float32)
+                np.asarray(streams[s].images[j], np.float32)
                 for j in frame_ids
             ])
-            return band_image_operands(
-                geom_pad, n_tiles, q_np, t_np, host_imgs, cam,
+            banded = band_image_operands(
+                geom_pad, n_tiles, q_np, t_np, host_imgs,
+                streams[s].rig.camera,
                 elev_min=slab[0], elev_max=slab[1], capacity_multiple=2,
             )
-        return replicated_band_images(q_np, t_np, imgs_dev)
+        else:
+            banded = replicated_band_images(q_np, t_np, imgs_dev)
+        if multicam:
+            # global ids: the banded ids index the passed subset stack
+            # (frames frame_ids[0]..frame_ids[-1] in order), so the
+            # absolute id is ids + frame_ids[0], offset by the stream base
+            offset = s * n_frames + frame_ids[0]
+            banded = banded._replace(ids=jnp.where(
+                banded.ids >= 0, banded.ids + offset, banded.ids
+            ))
+        return banded
 
-    def do_update(state, i, q_np, t_np, imgs_dev, frame_ids, cur_stereo,
-                  use_cull):
-        """One fused map update; returns (state', diag | None)."""
-        layers, prev, prev_stereo = state
-        banded = make_banded(q_np, t_np, imgs_dev, frame_ids, use_cull)
-        if prev is not None:
-            ring = prepare_ring_pair_operands(
-                cam.K, Rs[[prev, i]], trans_c[[prev, i]],
-                [prev_stereo, cur_stereo],
+    def ortho_only(layers, s, banded):
+        """One stream's banded/replicated sharded ortho pass."""
+        gb = to_global(banded)
+        scam = streams[s].rig.camera
+        if gb.ids.ndim == 1:  # replicated every-band layout
+            layers = sharded_backward_grid_update(
+                layers, gb.quats, gb.ts, gb.images,
+                geom_pad, scam, cfg.ortho_backward, mesh,
+                image_ids=gb.ids if multicam else None,
             )
+        else:
+            from aerial_mapper_tpu.parallel.sharded import (
+                sharded_backward_grid_update_banded,
+            )
+
+            layers = sharded_backward_grid_update_banded(
+                layers, gb, geom_pad, scam, cfg.ortho_backward, mesh,
+            )
+        return layers
+
+    def do_update(state, i, imgs_dev_s, frame_ids, cur_stereo, use_cull):
+        """One fused map update (all streams); returns
+        (state', diag | None). ``imgs_dev_s``/``cur_stereo``: per-stream
+        lists (subset stacks, matcher-ready current frames)."""
+        layers, prev, prev_stereo = state
+        bandeds = [
+            make_banded(s, imgs_dev_s[s], frame_ids, use_cull)
+            for s in range(len(streams))
+        ]
+        if prev is not None:
+            pair_ops = [
+                prepare_pair_operands(
+                    streams[s].rig.camera.K, Rs_s[s][[prev, i]],
+                    poses[s][1][[prev, i]],
+                    [prev_stereo[s], cur_stereo[s]],
+                )
+                for s in range(len(streams))
+            ]
+            ring = _interleaved_multicam_ring(pair_ops)
             ring = pad_ring_pairs(ring, n_devices)
             layers, diag = sharded_map_step(
-                layers, to_global(ring), to_global(banded), geom_pad,
+                layers, to_global(ring), to_global(bandeds[0]), geom_pad,
                 cam, cfg.dsm, cfg.ortho_backward, mesh,
                 matcher=cfg.stereo.matcher, bm_cfg=cfg.bm,
                 sgm_cfg=cfg.sgm, route_capacity_factor=capacity_factor,
                 z_min=cfg.stereo.z_min, z_max=cfg.stereo.z_max,
             )
+            for s in range(1, len(streams)):
+                layers = ortho_only(layers, s, bandeds[s])
         else:
             # first update: no stereo pair exists yet; ortho-only update,
             # exactly the single-device driver's first step. The layout
             # may already be CULLED here (flat-plane mode's constant slab
             # is exact from update 1) — dispatch like the fused step does.
-            gb = to_global(banded)
-            if gb.ids.ndim == 1:
-                layers = sharded_backward_grid_update(
-                    layers, gb.quats, gb.ts, gb.images,
-                    geom_pad, cam, cfg.ortho_backward, mesh,
-                )
-            else:
-                from aerial_mapper_tpu.parallel.sharded import (
-                    sharded_backward_grid_update_banded,
-                )
-
-                layers = sharded_backward_grid_update_banded(
-                    layers, gb, geom_pad, cam, cfg.ortho_backward, mesh,
-                )
+            for s in range(len(streams)):
+                layers = ortho_only(layers, s, bandeds[s])
             diag = None
         return (layers, i, cur_stereo), diag
 
@@ -527,14 +698,19 @@ def _run_incremental_sharded(
             hi = jnp.float32(-jnp.inf)
             redo_pending = []
             for i, frame_ids in win_records:
-                imgs = jnp.stack([
-                    jnp.asarray(dataset.images[j], jnp.float32)
-                    for j in frame_ids
-                ])
-                cur = _stereo_image_from(imgs[-1], dataset, cfg)
+                imgs_s = [
+                    jnp.stack([
+                        jnp.asarray(ds.images[j], jnp.float32)
+                        for j in frame_ids
+                    ])
+                    for ds in streams
+                ]
+                cur = [
+                    _stereo_image_from(imgs_s[s][-1], ds, cfg)
+                    for s, ds in enumerate(streams)
+                ]
                 state_r, diag = do_update(
-                    state_r, i, quats_c[frame_ids], trans_c[frame_ids],
-                    imgs, frame_ids, cur, use_cull=False,
+                    state_r, i, imgs_s, frame_ids, cur, use_cull=False,
                 )
                 if diag is not None:
                     ovf = ovf + diag.overflow
@@ -598,23 +774,23 @@ def _run_incremental_sharded(
         pending = []
         reset_window()
 
-    images_subset = []
-    quats_subset, trans_subset = [], []
-    for i, frame in _frame_stream(dataset, prestage_images, start_frame):
-        images_subset.append(frame)
-        quats_subset.append(quats_c[i])
-        trans_subset.append(trans_c[i])
+    images_subset = [[] for _ in streams]
+    for i, frames in _frame_streams(streams, prestage_images, start_frame):
+        for s, frame in enumerate(frames):
+            images_subset[s].append(frame)
 
         if (i + 1) % update_every_nth != 0:
             continue
 
-        cur_stereo = _stereo_image_from(frame, dataset, cfg)
-        frame_ids = list(range(i - len(images_subset) + 1, i + 1))
+        cur_stereo = [
+            _stereo_image_from(frame, ds, cfg)
+            for frame, ds in zip(frames, streams)
+        ]
+        frame_ids = list(range(i - len(images_subset[0]) + 1, i + 1))
         with timer.stage("incremental_step"):
             use_cull = cull_images and slab is not None
             state, diag = do_update(
-                state, i, np.asarray(quats_subset),
-                np.asarray(trans_subset), jnp.stack(images_subset),
+                state, i, [jnp.stack(sub) for sub in images_subset],
                 frame_ids, cur_stereo, use_cull,
             )
             accumulate(diag)
@@ -626,15 +802,14 @@ def _run_incremental_sharded(
         if len(win_records) >= check_every:
             with timer.stage("incremental_validate"):
                 close_window()
-        images_subset.clear()
-        quats_subset.clear()
-        trans_subset.clear()
+        for sub_list in images_subset:
+            sub_list.clear()
 
     close_window()
     logger.info(
-        "incremental (sharded over %d devices): %d map updates, final "
-        "cull slab %s, route_capacity_factor %.1f",
-        n_devices, num_updates, slab, capacity_factor,
+        "incremental (sharded over %d devices, %d camera streams): %d "
+        "map updates, final cull slab %s, route_capacity_factor %.1f",
+        n_devices, len(streams), num_updates, slab, capacity_factor,
     )
     logger.info(timer.report())
     return crop(state[0]), geom

@@ -60,17 +60,32 @@ def _two_camera_rig():
     ), R_B_C1
 
 
-def _make_datasets(n=8):
+def _make_datasets(n=8, cam=None):
     """Per-camera Datasets over one body trajectory, streams rendered with
     each camera's true world pose T_G_Cj = T_G_B * T_B_Cj."""
-    rig, R_B_C1 = _two_camera_rig()
+    th = np.deg2rad(TILT_DEG)
+    R_B_C1 = np.array(
+        [[1.0, 0.0, 0.0],
+         [0.0, np.cos(th), -np.sin(th)],
+         [0.0, np.sin(th), np.cos(th)]]
+    )
+    if cam is None:
+        cam = CAM
+        rig, _ = _two_camera_rig()
+    else:
+        quats = np.stack([
+            np.array([1.0, 0.0, 0.0, 0.0]),
+            _quat_from_matrix_np(R_B_C1.T),
+        ])
+        rig = CameraRig(cameras=(cam, cam), T_C_B_quats=quats,
+                        T_C_B_trans=np.zeros((2, 3)))
     Rs, ts = make_survey_poses(n, altitude=514.0, spacing=6.0)
     quats_b = np.asarray(matrix_to_quat(jnp.asarray(Rs)))
     datasets = []
     for j, R_B_C in enumerate([np.eye(3), R_B_C1]):
         images = [
             np.asarray(render_image(
-                SCENE, CAM,
+                SCENE, cam,
                 jnp.asarray(R @ R_B_C, jnp.float32),
                 jnp.asarray(t, jnp.float32),
             ))
@@ -350,3 +365,132 @@ def test_cli_all_cameras_end_to_end(tmp_path):
     elev_mc = read_geotiff(out_mc)[0]
     elev_c0 = read_geotiff(out_c0)[0]
     assert np.isfinite(elev_mc).sum() > np.isfinite(elev_c0).sum()
+
+
+# ---------------------------------------------------------------------------
+# Multicam in the flagship INCREMENTAL driver (VERDICT r4 #5)
+# ---------------------------------------------------------------------------
+
+# square-pixel camera for the incremental bit-identity assertions: the
+# sharded ring-stereo front-end differs from the sequential batched path
+# by float ULPs at fx != fy (CLAUDE.md caveat), which is noise for the
+# coverage/texture tests above but would flake a bit-identity test
+SQCAM = Camera(fx=224.0, fy=224.0, cx=112.0, cy=84.0, width=224, height=168)
+
+
+def _inc_config(flat_plane=False):
+    import dataclasses as dc
+
+    from aerial_mapper_tpu.config import OrthoBackwardGridConfig
+
+    cfg = _config()
+    if flat_plane:
+        cfg = dc.replace(cfg, ortho_backward=OrthoBackwardGridConfig(
+            use_digital_elevation_map=False,
+            orthomosaic_elevation_m=414.0, cell_chunk=4096,
+        ))
+    return cfg
+
+
+def test_multicam_incremental_equals_batch_flat_plane():
+    """Multicam incremental == multicam batch on the ortho layers under
+    flat-plane texturing (the best-angle idempotence argument: per-cell
+    updates replace only on a strictly more-nadir observation, so window
+    composition order cannot matter; global observation ids match the
+    batch convention stream_offset + frame index)."""
+    import dataclasses as dc
+
+    from aerial_mapper_tpu.pipeline.batch import run_ortho_backward_grid
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    datasets = _make_datasets(cam=SQCAM)
+    cfg = dc.replace(_inc_config(flat_plane=True), auto_shard=False)
+    layers_inc, geom = run_incremental(
+        datasets[0], cfg, update_every_nth=2, datasets=datasets,
+    )
+    layers_batch, _ = run_ortho_backward_grid(
+        datasets[0], cfg, datasets=datasets,
+    )
+    np.testing.assert_allclose(
+        np.asarray(layers_inc["ortho"]), np.asarray(layers_batch["ortho"]),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(layers_inc["elevation_angle"]),
+        np.asarray(layers_batch["elevation_angle"]), atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(layers_inc["num_observations"]),
+        np.asarray(layers_batch["num_observations"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(layers_inc["observation_index"]),
+        np.asarray(layers_batch["observation_index"]),
+    )
+    # the fused map actually uses stream 1: some winners carry global ids
+    obs = np.asarray(layers_inc["observation_index"])
+    n0 = len(datasets[0].images)
+    assert (obs >= n0).any()
+
+
+def test_multicam_incremental_sharded_bit_identical():
+    """The sharded multicam incremental driver (interleaved valid-masked
+    ring -> one merged-cloud fused step + per-stream banded ortho) is
+    BIT-identical to the single-device multicam incremental driver —
+    the repo's sharding invariant extended to the multicam window loop."""
+    import dataclasses as dc
+
+    import jax
+
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    datasets = _make_datasets(cam=SQCAM)
+    cfg = _inc_config()
+    layers_sh, _ = run_incremental(
+        datasets[0], cfg, update_every_nth=2, check_every=2,
+        datasets=datasets,
+    )
+    layers_1, _ = run_incremental(
+        datasets[0], dc.replace(cfg, auto_shard=False),
+        update_every_nth=2, datasets=datasets,
+    )
+    for name in ("elevation", "ortho", "elevation_angle",
+                 "observation_index", "num_observations"):
+        a, b = np.asarray(layers_sh[name]), np.asarray(layers_1[name])
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, nan=-1e30), np.nan_to_num(b, nan=-1e30),
+            err_msg=name,
+        )
+    # multicam coverage exceeds the single-stream incremental run
+    l_c0, _ = run_incremental(
+        datasets[0], dc.replace(cfg, auto_shard=False), update_every_nth=2,
+    )
+    cov_mc = np.isfinite(np.asarray(layers_1["elevation"])).sum()
+    cov_c0 = np.isfinite(np.asarray(l_c0["elevation"])).sum()
+    assert cov_mc > cov_c0 * 1.2, (cov_mc, cov_c0)
+
+
+def test_multicam_incremental_stream_validation():
+    """Mismatched stream lengths or trajectories are rejected."""
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    datasets = _make_datasets(n=4, cam=SQCAM)
+    import dataclasses as dc
+
+    short = dc.replace(
+        datasets[1],
+        quats_G_B=datasets[1].quats_G_B[:-1],
+        trans_G_B=datasets[1].trans_G_B[:-1],
+        images=datasets[1].images[:-1],
+    )
+    with pytest.raises(ValueError, match="synchronized"):
+        run_incremental(datasets[0], _inc_config(), update_every_nth=2,
+                        datasets=[datasets[0], short])
+    shifted = dc.replace(
+        datasets[1], trans_G_B=datasets[1].trans_G_B + 1.0,
+    )
+    with pytest.raises(ValueError, match="body"):
+        run_incremental(datasets[0], _inc_config(), update_every_nth=2,
+                        datasets=[datasets[0], shifted])
