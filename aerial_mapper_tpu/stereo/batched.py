@@ -115,6 +115,86 @@ def prepare_pair_operands(
     )
 
 
+def disparity_range_from_slab(
+    K: np.ndarray,
+    Rs: np.ndarray,  # [N, 3, 3] camera-to-world
+    ts: np.ndarray,  # [N, 3]
+    image_hw,
+    z_min: float,
+    z_max: float,
+    use_every_nth: int = 1,
+    phase: int = None,
+    margin_px: float = 8.0,
+    quantize: int = 16,
+) -> tuple:
+    """(min_disparity, num_disparities) bracketing a world-z slab.
+
+    The tracked elevation slab bounds the disparity search (VERDICT r4
+    #7): in the rectified frame, a pixel (u, v) seeing world elevation z
+    has disparity
+
+        d = b * a(u, v) / (z - t_z),   a(u, v) = R_rect[:, 2] . q(u, v)
+
+    with q = [u - cx, (fx/fy)(v - cy), fx] (the Q-matrix triangulation
+    inverted, triangulate.py:50-68: z_world = R^T p_rect + t and p_rect =
+    (b/d) q). ``a`` is affine in (u, v), so its extremes over the image
+    lie at the 4 corners; enumerating corners x slab ends bounds d for
+    every pixel whose true elevation lies in [z_min, z_max]. The search
+    window widens by ``margin_px`` (sub-pixel refinement and block
+    aggregation need interior context) and quantizes — min down to a
+    multiple of 8, count up to a multiple of ``quantize`` — so a slab
+    drifting by a few meters reuses the compiled program.
+
+    Host-side float64 over the same rectification transforms
+    ``prepare_pair_operands`` builds; returns plain ints. Degenerate
+    geometry (slab at/above the cameras, rays parallel to the slab)
+    raises — fall back to the full search range there. Matcher cost
+    scales ~linearly with num_disparities (docs/PERFORMANCE.md), so a
+    +-20 m slab at survey scale typically needs ~1/3 of the reference's
+    80-disparity default.
+    """
+    if phase is None:
+        phase = use_every_nth - 1
+    n = len(Rs)
+    idx = list(range(phase, n, use_every_nth)) \
+        if use_every_nth > 1 else list(range(n))
+    if len(idx) < 2:
+        raise ValueError("need at least two frames for a disparity range")
+    h, w = image_hw
+    fx, fy = float(K[0, 0]), float(K[1, 1])
+    cx, cy = float(K[0, 2]), float(K[1, 2])
+    corners = np.array(
+        [[0.0, 0.0], [w - 1.0, 0.0], [0.0, h - 1.0], [w - 1.0, h - 1.0]]
+    )
+    q = np.stack([
+        corners[:, 0] - cx,
+        (fx / fy) * (corners[:, 1] - cy),
+        np.full(4, fx),
+    ], axis=0)  # [3, 4]
+    d_lo, d_hi = np.inf, -np.inf
+    for a_i, b_i in zip(idx[:-1], idx[1:]):
+        tf = rectification_transforms(K, Rs[a_i], Rs[b_i], ts[a_i], ts[b_i])
+        a_vals = tf.R_G_C_rect[:, 2] @ q  # [4]
+        denom = np.array([z_min, z_max]) - ts[a_i][2]
+        if (denom >= 0).any():
+            raise ValueError(
+                f"slab [{z_min}, {z_max}] reaches camera altitude "
+                f"{ts[a_i][2]:.1f} — disparity range undefined"
+            )
+        d = tf.baseline * a_vals[:, None] / denom[None, :]
+        d_lo = min(d_lo, float(d.min()))
+        d_hi = max(d_hi, float(d.max()))
+    if not np.isfinite(d_lo) or d_hi <= 0:
+        raise ValueError(
+            f"degenerate disparity range [{d_lo}, {d_hi}] for slab "
+            f"[{z_min}, {z_max}]"
+        )
+    lo = max(0, int(np.floor((d_lo - margin_px) / 8.0)) * 8)
+    hi = d_hi + margin_px
+    num = max(quantize, int(np.ceil((hi - lo) / quantize)) * quantize)
+    return lo, num
+
+
 def filter_points_z(points, valid, z_min=None, z_max=None):
     """Opt-in world-z bounds on triangulated points (StereoConfig.z_min/
     z_max): gross disparity outliers triangulate far off the terrain and

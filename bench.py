@@ -244,6 +244,30 @@ def worker_e2e(k: int):
     ops = prepare_pair_operands(cam.K, Rs, ts, stereo_src,
                                 use_every_nth=7, phase=0)
 
+    # BENCH_E2E_SLAB_DISP=1: slab-bounded disparity search (VERDICT r4
+    # #7) — derive the elevation slab from a BM prepass (the incremental
+    # driver tracks exactly this slab for free), bound the search window
+    # to the disparities that slab can produce, and run the SAME e2e
+    # step. The matcher + cost-volume passes scale ~linearly with the
+    # disparity count.
+    if os.environ.get("BENCH_E2E_SLAB_DISP", "0") == "1":
+        from aerial_mapper_tpu.stereo.batched import (
+            disparity_range_from_slab,
+        )
+        from aerial_mapper_tpu.stereo.plane_sweep import auto_z_range
+
+        z_lo, z_hi = auto_z_range(list(images), np.asarray(Rs),
+                                  np.asarray(ts), cam, bm_cfg=bm_cfg)
+        lo, num = disparity_range_from_slab(
+            cam.K, np.asarray(Rs), np.asarray(ts), (IMG_H, IMG_W),
+            z_lo, z_hi, use_every_nth=7, phase=0,
+        )
+        log(f"slab-bounded disparity search: slab [{z_lo:.1f}, "
+            f"{z_hi:.1f}] m -> disparities [{lo}, {lo + num}) "
+            f"({num} vs {NUM_DISP} full)")
+        bm_cfg = BlockMatchingConfig(min_disparity=lo,
+                                     num_disparities=num)
+
     u8_internal = os.environ.get("BENCH_E2E_U8_INTERNAL", "0") == "1"
 
     @jax.jit
