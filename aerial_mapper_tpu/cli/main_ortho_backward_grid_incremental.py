@@ -87,6 +87,36 @@ def main(argv=None):
                                             args.serve_preview)
 
     update_count = [0]
+    cloud_acc = []  # decimated host points accumulated across updates
+    cloud_cap = 400_000
+
+    def on_cloud(step, points, valid):
+        # growing decimated cloud (the rviz PointCloud2 analogue,
+        # stereo.cpp:78-79); re-decimate 2x whenever the host buffer
+        # exceeds the cap so memory stays bounded over long runs
+        cloud_acc.append(points[valid])
+        total = sum(len(p) for p in cloud_acc)
+        if total > cloud_cap:
+            merged = np.concatenate(cloud_acc)[::2]
+            cloud_acc.clear()
+            cloud_acc.append(merged)
+
+    def dump_cloud_preview(geom):
+        from aerial_mapper_tpu.stereo.visualize import cloud_topdown_panel
+
+        pts = (np.concatenate(cloud_acc) if cloud_acc
+               else np.zeros((0, 3), np.float32))
+        panel = cloud_topdown_panel(
+            pts, west=geom.west, north=geom.north,
+            resolution=geom.resolution, height=geom.height,
+            width=geom.width,
+        )
+        save_image(os.path.join(args.preview_dir, "cloud_live.png"), panel)
+        tmp = os.path.join(args.preview_dir,
+                           f".cloud_live.{os.getpid()}.npz")
+        np.savez(tmp, points=pts)
+        os.replace(tmp,
+                   os.path.join(args.preview_dir, "cloud_live.npz"))
 
     def on_update(step, layers, geom):
         update_count[0] += 1
@@ -111,6 +141,8 @@ def main(argv=None):
                 os.path.join(args.preview_dir, "layers_live.npz"),
                 {k: np.asarray(v) for k, v in layers.items()}, geom,
             )
+            if cloud_acc:
+                dump_cloud_preview(geom)
 
     initial_layers = None
     if args.resume_layers_npz:
@@ -118,12 +150,20 @@ def main(argv=None):
 
         initial_layers, _resume_geom = load_layers(args.resume_layers_npz)
 
+    import jax
+
+    # live cloud feed: single-device driver only (the sharded fused step
+    # never materializes the cloud); previews degrade to rasters there
+    want_cloud = bool(args.preview_every_updates) and (
+        not cfg.auto_shard or len(jax.devices()) <= 1
+    )
     layers, geom = run_incremental(
         dataset, cfg, update_every_nth=args.update_every_nth,
         on_update=on_update, initial_layers=initial_layers,
         start_frame=args.start_frame, cull_images=args.band_cull,
         check_every=args.check_every, slab_margin_m=args.slab_margin,
         datasets=datasets,
+        on_cloud=on_cloud if want_cloud else None,
     )
     save_image(args.orthomosaic_jpg_filename, np.asarray(layers["ortho"]))
     if args.output_layers_npz:

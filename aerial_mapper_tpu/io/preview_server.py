@@ -44,11 +44,17 @@ aerial-mapper-grid-map.cc:51-64)</p>
   <figcaption>orthomosaic (ortho_live.png)</figcaption></figure>
  <figure><img id="elev" src="elevation_live.png">
   <figcaption>elevation / DSM (elevation_live.png)</figcaption></figure>
+ <figure><img id="cloud" src="cloud_live.png"
+          onerror="this.style.display='none'"
+          onload="this.style.display=''">
+  <figcaption>growing point cloud, top-down
+   (cloud_live.png; raw decimated points: cloud_live.npz)</figcaption>
+ </figure>
 </div>
 <script>
  setInterval(function () {{
    var t = Date.now();
-   ["ortho", "elev"].forEach(function (id) {{
+   ["ortho", "elev", "cloud"].forEach(function (id) {{
      var el = document.getElementById(id);
      el.src = el.src.split("?")[0] + "?" + t;
    }});

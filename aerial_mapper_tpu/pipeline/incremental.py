@@ -216,6 +216,8 @@ def run_incremental(
     slab_margin_m: float = 20.0,
     route_capacity_factor: float = 2.0,
     datasets=None,
+    on_cloud: Optional[Callable] = None,
+    cloud_stride: int = 64,
 ):
     """Stream the sequence; returns the final (layers, geom).
 
@@ -224,6 +226,14 @@ def run_incremental(
     (main-ortho-backward-grid-incremental.cc:160). In the sharded mode the
     calls are deferred until the update's validation window passes (see
     below) and then flushed in order.
+
+    ``on_cloud(step, points, valid)`` (optional) receives each update's
+    newly triangulated stereo points decimated by ``cloud_stride``, as
+    host numpy — the live point-cloud feed the reference publishes per
+    frame (stereo.cpp:78-79 -> rviz). Costs one small d2h readback per
+    update, so it is opt-in. Single-device driver only: the sharded
+    fused step never materializes the cloud outside the device mesh
+    (a warning is logged and the callback skipped there).
 
     ``prestage_images``: move the whole sequence to the device in one bulk
     transfer up front instead of per-frame as the stream arrives — the
@@ -275,6 +285,14 @@ def run_incremental(
     multicam = len(streams) > 1
     mesh = _incremental_mesh(cfg)
     if mesh is not None:
+        if on_cloud is not None:
+            logger.warning(
+                "on_cloud is unavailable in the sharded incremental "
+                "driver (the fused step routes points inside the mesh "
+                "and never materializes the cloud); skipping the "
+                "callback — run with auto_shard=False for the live "
+                "cloud feed"
+            )
         return _run_incremental_sharded(
             streams, cfg, geom, mesh, update_every_nth, on_update,
             prestage_images, initial_layers, start_frame,
@@ -340,10 +358,17 @@ def run_incremental(
                                             cfg.stereo.z_max)
                     all_pts.append(pts.reshape(-1, 3))
                     all_valid.append(valid.reshape(-1))
+                merged_pts = jnp.concatenate(all_pts)
+                merged_valid = jnp.concatenate(all_valid)
                 layers = update_elevation_layer(
-                    layers, jnp.concatenate(all_pts),
-                    jnp.concatenate(all_valid), geom, cfg.dsm,
+                    layers, merged_pts, merged_valid, geom, cfg.dsm,
                 )
+                if on_cloud is not None:
+                    on_cloud(
+                        i,
+                        np.asarray(merged_pts[::cloud_stride]),
+                        np.asarray(merged_valid[::cloud_stride]),
+                    )
 
         with timer.stage("incremental_ortho"):
             # one best-angle pass per stream; multicam carries GLOBAL

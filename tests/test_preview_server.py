@@ -111,3 +111,75 @@ def test_cli_serves_latest_preview_during_run(tmp_path):
     assert not t.is_alive()
     assert "png" in got, "server never served the live mosaic during the run"
     assert b"live mapping preview" in got["page"]
+
+
+def test_cloud_topdown_panel_renders_points():
+    """The cloud preview renderer: nadir z-buffer scatter in the map's
+    geotransform, palette-colored by elevation, dark background."""
+    from aerial_mapper_tpu.stereo.visualize import cloud_topdown_panel
+
+    pts = np.array([
+        [0.5, -0.5, 400.0],   # pixel (0, 0)
+        [0.5, -0.5, 420.0],   # same pixel, higher -> wins the z-buffer
+        [3.5, -2.5, 410.0],   # pixel (2, 3)
+        [99.0, -99.0, 405.0],  # outside -> dropped
+    ])
+    panel = cloud_topdown_panel(pts, west=0.0, north=0.0, resolution=1.0,
+                                height=4, width=4, z_range=(400.0, 420.0))
+    assert panel.shape == (4, 4, 3) and panel.dtype == np.uint8
+    bg = np.array([17, 17, 17], np.uint8)
+    assert (panel[0, 0] != bg).any() and (panel[2, 3] != bg).any()
+    assert (panel[1, 1] == bg).all()
+    # the z-buffer kept the HIGH point: (0,0) renders the palette top,
+    # not the palette bottom
+    from aerial_mapper_tpu.utils.palettes import apply_palette
+
+    top = apply_palette(np.array([[420.0]]), "terrain", vmin=400.0,
+                        vmax=420.0)[0, 0]
+    np.testing.assert_array_equal(panel[0, 0], top)
+    # empty cloud: valid panel, all background
+    empty = cloud_topdown_panel(np.zeros((0, 3)), west=0.0, north=0.0,
+                                resolution=1.0, height=2, width=2)
+    assert (empty == bg).all()
+
+
+def test_cli_cloud_preview_single_device(tmp_path):
+    """--serve_preview on the single-device driver also serves the
+    growing point cloud (the rviz PointCloud2 analogue, stereo.cpp:78-79)
+    as a top-down scatter PNG + raw decimated npz."""
+    from aerial_mapper_tpu.cli import (
+        main_make_synthetic_dataset,
+        main_ortho_backward_grid_incremental,
+    )
+
+    d = str(tmp_path / "ds")
+    main_make_synthetic_dataset.main([
+        "--output_directory", d, "--num_images", "8",
+        "--image_width", "96", "--image_height", "64",
+        "--focal_length", "96", "--altitude", "454", "--spacing", "5",
+    ])
+    preview = str(tmp_path / "preview")
+    main_ortho_backward_grid_incremental.main([
+        "--data_directory", d, "--prefix_images", "image_",
+        "--center_easting", "12", "--center_northing", "0",
+        "--delta_easting", "30", "--delta_northing", "32",
+        "--num_disparities", "32", "--update_every_nth", "2",
+        "--interpolation_radius", "2.0", "--no-auto_shard",
+        "--preview_every_updates", "1", "--preview_dir", preview,
+        "--orthomosaic_jpg_filename", str(tmp_path / "o.jpg"),
+    ])
+    assert os.path.exists(os.path.join(preview, "cloud_live.png"))
+    z = np.load(os.path.join(preview, "cloud_live.npz"))
+    pts = z["points"]
+    assert pts.shape[0] > 100 and pts.shape[1] == 3
+    # the decimated cloud sits on the synthetic terrain
+    assert 380.0 < np.median(pts[:, 2]) < 430.0
+    from PIL import Image
+
+    panel = np.asarray(Image.open(os.path.join(preview, "cloud_live.png")))
+    bg = (panel == 17).all(axis=-1)
+    assert (~bg).mean() > 0.05  # a visible scatter, not an empty frame
+    # the index page links the cloud figure
+    from aerial_mapper_tpu.io.preview_server import _PAGE
+
+    assert "cloud_live.png" in _PAGE
