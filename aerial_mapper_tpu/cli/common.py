@@ -233,6 +233,14 @@ def add_stereo_flags(p: argparse.ArgumentParser):
                         "(z > -100, aerial-mapper-io.cc:309-347). "
                         "Default keeps everything (reference parity).")
     p.add_argument("--stereo_z_max", type=float, default=None)
+    p.add_argument("--disparity_from_slab",
+                   action=argparse.BooleanOptionalAction, default=False,
+                   help="Bound the disparity search window to what the "
+                        "terrain elevation slab can produce (from "
+                        "--stereo_z_min/max when both set, else a BM "
+                        "prepass) — the matcher scales ~linearly with "
+                        "the disparity count. Opt-in approximation: "
+                        "terrain outside the slab cannot be discovered.")
 
 
 def add_dsm_flags(p: argparse.ArgumentParser):
@@ -401,6 +409,7 @@ def pipeline_config_from_args(args) -> PipelineConfig:
         densifier=getattr(args, "densifier", "stereo"),
         z_min=getattr(args, "stereo_z_min", None),
         z_max=getattr(args, "stereo_z_max", None),
+        disparity_from_slab=getattr(args, "disparity_from_slab", False),
     )
     plane_sweep = PlaneSweepConfig(
         z_min=getattr(args, "ps_z_min", None),

@@ -61,6 +61,15 @@ class StereoConfig:
     # incremental, and fused sharded drivers.
     z_min: Optional[float] = None
     z_max: Optional[float] = None
+    # Opt-in: bound the disparity search window to what the terrain's
+    # elevation slab can produce (stereo.batched.disparity_range_from_slab)
+    # — the slab comes from [z_min, z_max] when both are set, else from a
+    # cheap full-range BM prepass (stereo.plane_sweep.auto_z_range). The
+    # matcher + cost-volume passes scale ~linearly with the disparity
+    # count, so a +-20 m slab at survey scale costs ~1/3 of the 80-
+    # disparity reference default. Approximation (documented): terrain
+    # OUTSIDE the slab cannot be discovered — default off for parity.
+    disparity_from_slab: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

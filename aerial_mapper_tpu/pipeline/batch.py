@@ -128,6 +128,39 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         return points.reshape(-1, 3), intens.reshape(-1), valid.reshape(-1)
     import jax
 
+    bm_cfg, sgm_cfg = cfg.bm, cfg.sgm
+    if cfg.stereo.disparity_from_slab:
+        # slab-bounded disparity search (opt-in approximation): bound the
+        # window to the disparities the terrain slab can produce — the
+        # matcher scales ~linearly with the disparity count
+        import dataclasses as _dc
+
+        from aerial_mapper_tpu.stereo.batched import (
+            disparity_range_from_slab,
+        )
+
+        if cfg.stereo.z_min is not None and cfg.stereo.z_max is not None:
+            z_lo, z_hi = cfg.stereo.z_min, cfg.stereo.z_max
+        else:
+            from aerial_mapper_tpu.stereo.plane_sweep import auto_z_range
+
+            z_lo, z_hi = auto_z_range(images, Rs, trans_c,
+                                      dataset.rig.camera, bm_cfg=cfg.bm)
+        lo, num = disparity_range_from_slab(
+            dataset.rig.camera.K, Rs, trans_c,
+            (images[0].shape[-2], images[0].shape[-1]), z_lo, z_hi,
+            use_every_nth=cfg.stereo.use_every_nth_image,
+        )
+        bm_cfg = _dc.replace(bm_cfg, min_disparity=lo,
+                             num_disparities=num)
+        sgm_cfg = _dc.replace(sgm_cfg, min_disparity=max(lo, 1),
+                              num_disparities=num)
+        logger.info(
+            "slab-bounded disparity search: slab [%.1f, %.1f] m -> "
+            "disparities [%d, %d) (%d vs %d full)",
+            z_lo, z_hi, lo, lo + num, num, cfg.bm.num_disparities,
+        )
+
     devices = jax.devices()
     if cfg.auto_shard and len(devices) > 1:
         # pair-data-parallel stereo: ring frames sharded over every
@@ -152,7 +185,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         with timer.stage("dense_pcl", work_items=len(images)):
             points, intens, valid = sharded_process_pairs(
                 ring, dataset.rig.camera, mesh,
-                matcher=cfg.stereo.matcher, bm_cfg=cfg.bm, sgm_cfg=cfg.sgm,
+                matcher=cfg.stereo.matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
             )
         logger.info("dense_pcl: %d pairs sharded over %d devices",
                     b_real, len(devices))
@@ -167,7 +200,7 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
         with timer.stage("dense_pcl", work_items=len(images)):
             points, intens, valid = process_pairs_batched(
                 ops, dataset.rig.camera, matcher=cfg.stereo.matcher,
-                bm_cfg=cfg.bm, sgm_cfg=cfg.sgm, batch_chunk=1,
+                bm_cfg=bm_cfg, sgm_cfg=sgm_cfg, batch_chunk=1,
             )
     from aerial_mapper_tpu.stereo.batched import filter_points_z
 

@@ -486,3 +486,73 @@ def test_disparity_range_from_slab():
     with _pytest.raises(ValueError, match="camera altitude"):
         disparity_range_from_slab(
             CAM.K, Rs, ts, (CAM.height, CAM.width), 400.0, 600.0)
+
+
+def test_disparity_from_slab_through_pipeline():
+    """StereoConfig.disparity_from_slab drives run_dsm end-to-end: the
+    derived window is logged, and the DSM stays within the accuracy bar
+    with coverage parity vs the full-range run."""
+    import dataclasses as dc
+    import logging
+
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.config import (
+        DsmConfig,
+        GridMapConfig,
+        PipelineConfig,
+    )
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.mapgrid.grid import cell_centers
+    from aerial_mapper_tpu.pipeline.batch import run_dsm
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=6.0)
+    images = [
+        np.asarray(render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                                jnp.asarray(t, jnp.float32)))
+        for R, t in zip(Rs, ts)
+    ]
+    rig = CameraRig(cameras=(CAM,),
+                    T_C_B_quats=np.array([[1.0, 0.0, 0.0, 0.0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    ds = Dataset(
+        rig=rig,
+        quats_G_B=np.asarray(matrix_to_quat(jnp.asarray(Rs)), np.float64),
+        trans_G_B=np.asarray(ts), images=images,
+    )
+    cfg = PipelineConfig(
+        auto_shard=False,
+        grid=GridMapConfig(center_easting=16.0, center_northing=0.0,
+                           delta_easting=60.0, delta_northing=40.0,
+                           resolution=1.0),
+        stereo=StereoConfig(use_every_nth_image=1,
+                            disparity_from_slab=True),
+        dsm=DsmConfig(interpolation_radius_sq=2.0),
+    )
+    records = []
+
+    class _Catch(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = logging.getLogger("aerial_mapper_tpu")
+    h = _Catch()
+    lg.addHandler(h)
+    old_level = lg.level
+    lg.setLevel(logging.INFO)
+    try:
+        layers, geom = run_dsm(ds, cfg)
+    finally:
+        lg.removeHandler(h)
+        lg.setLevel(old_level)
+    assert any("slab-bounded disparity" in m for m in records)
+    layers_full, _ = run_dsm(
+        ds, dc.replace(cfg, stereo=StereoConfig(use_every_nth_image=1)))
+    elev = np.asarray(layers["elevation"])
+    elev_full = np.asarray(layers_full["elevation"])
+    fin, fin_full = np.isfinite(elev), np.isfinite(elev_full)
+    assert fin.sum() > 0.95 * fin_full.sum()
+    ce, cn = cell_centers(geom)
+    truth = np.asarray(SCENE.height(ce, cn))
+    err = np.abs(elev[fin] - truth[fin])
+    assert np.median(err) < geom.resolution
