@@ -126,6 +126,7 @@ def disparity_range_from_slab(
     phase: int = None,
     margin_px: float = 8.0,
     quantize: int = 16,
+    outlier_factor: float = 3.0,
 ) -> tuple:
     """(min_disparity, num_disparities) bracketing a world-z slab.
 
@@ -144,6 +145,14 @@ def disparity_range_from_slab(
     aggregation need interior context) and quantizes — min down to a
     multiple of 8, count up to a multiple of ``quantize`` — so a slab
     drifting by a few meters reuses the compiled program.
+
+    Outlier-baseline pairs are EXCLUDED from the window (a pair whose
+    upper disparity bound exceeds ``outlier_factor`` x the median pair's
+    — e.g. the cross-flight-line turn pair, whose ~60 m baseline needs
+    ~240 px of disparity at survey scale): folding them in would widen
+    the window 4x for pairs the reference's fixed 80-disparity window
+    cannot match either; excluded pairs simply keep producing invalid
+    pixels, exactly as they do at the fixed default.
 
     Host-side float64 over the same rectification transforms
     ``prepare_pair_operands`` builds; returns plain ints. Degenerate
@@ -171,7 +180,7 @@ def disparity_range_from_slab(
         (fx / fy) * (corners[:, 1] - cy),
         np.full(4, fx),
     ], axis=0)  # [3, 4]
-    d_lo, d_hi = np.inf, -np.inf
+    pair_lo, pair_hi = [], []
     for a_i, b_i in zip(idx[:-1], idx[1:]):
         tf = rectification_transforms(K, Rs[a_i], Rs[b_i], ts[a_i], ts[b_i])
         a_vals = tf.R_G_C_rect[:, 2] @ q  # [4]
@@ -182,8 +191,25 @@ def disparity_range_from_slab(
                 f"{ts[a_i][2]:.1f} — disparity range undefined"
             )
         d = tf.baseline * a_vals[:, None] / denom[None, :]
-        d_lo = min(d_lo, float(d.min()))
-        d_hi = max(d_hi, float(d.max()))
+        pair_lo.append(float(d.min()))
+        pair_hi.append(float(d.max()))
+    pair_lo, pair_hi = np.asarray(pair_lo), np.asarray(pair_hi)
+    med_hi = float(np.median(pair_hi))
+    keep = pair_hi <= outlier_factor * max(med_hi, 1e-9)
+    if not keep.any():
+        keep = np.ones_like(keep)
+    dropped = int((~keep).sum())
+    if dropped:
+        import logging
+
+        logging.getLogger("aerial_mapper_tpu").info(
+            "disparity_range_from_slab: %d outlier-baseline pair(s) "
+            "excluded from the window (max bound %.0f px vs median "
+            "%.0f) — they stay unmatched, as at the fixed default",
+            dropped, float(pair_hi.max()), med_hi,
+        )
+    d_lo = float(pair_lo[keep].min())
+    d_hi = float(pair_hi[keep].max())
     if not np.isfinite(d_lo) or d_hi <= 0:
         raise ValueError(
             f"degenerate disparity range [{d_lo}, {d_hi}] for slab "
