@@ -674,8 +674,8 @@ def worker_agreement():
           flush=True)
 
 
-def _spawn(mode: str, timeout=1100) -> list:
-    env = dict(os.environ, BENCH_WORKER=mode)
+def _spawn(mode: str, timeout=1100, extra_env=None) -> list:
+    env = dict(os.environ, BENCH_WORKER=mode, **(extra_env or {}))
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env, capture_output=True, text=True, timeout=timeout,
@@ -730,7 +730,8 @@ def main():
     def remaining() -> float:
         return deadline_s - (time.monotonic() - t_main0)
 
-    def spawn_dl(mode: str, floor: float = 120.0, retry: bool = False):
+    def spawn_dl(mode: str, floor: float = 120.0, retry: bool = False,
+                 extra_env=None):
         """Deadline-gated worker spawn: returns the RESULT floats or None
         (skipped / failed); never raises, never outlives the budget.
 
@@ -744,7 +745,8 @@ def main():
             return None
         first_cap = (rem - 30.0) / 2.0 if retry else rem - 30.0
         try:
-            return _spawn(mode, timeout=max(60.0, min(1100.0, first_cap)))
+            return _spawn(mode, timeout=max(60.0, min(1100.0, first_cap)),
+                          extra_env=extra_env)
         except Exception as e:  # noqa: BLE001
             log(f"{mode} worker failed: {type(e).__name__}: {e}")
             if retry and remaining() > floor:
@@ -755,6 +757,7 @@ def main():
                     return _spawn(
                         mode,
                         timeout=max(60.0, min(1100.0, remaining() - 30.0)),
+                        extra_env=extra_env,
                     )
                 except Exception as e2:  # noqa: BLE001
                     log(f"{mode} worker retry failed: "
@@ -829,6 +832,23 @@ def main():
         log(f"e2e speedup vs CANONICAL idle-host CPU reference "
             f"({CANONICAL_CPU_E2E_S:.2f} s, BASELINE.md): "
             f"{CANONICAL_CPU_E2E_S / t_e2e:.1f}x")
+
+    # slab-bounded disparity e2e (VERDICT r4 #7): the SAME step with the
+    # search window bounded to the prepass-derived terrain slab — the
+    # production --disparity_from_slab path (48 vs 80 disparities at this
+    # geometry; the incremental driver tracks the slab for free)
+    slab_env = {"BENCH_E2E_SLAB_DISP": "1"}
+    s1 = spawn_dl("e2e:1", floor=300.0, retry=True, extra_env=slab_env)
+    if s1 is not None:
+        s5 = spawn_dl("e2e:5", floor=180.0, extra_env=slab_env)
+        if s5 is not None:
+            t_slab = max((s5[0] - s1[0]) / 4.0, 1e-9)
+            speed = (f"; {CANONICAL_CPU_E2E_S / t_slab:.1f}x canonical "
+                     f"CPU" if CANONICAL_CPU_E2E_S else "")
+            log(f"e2e with slab-bounded disparity search "
+                f"(--disparity_from_slab): {t_slab:.2f} s -> "
+                f"{NUM_IMAGES / t_slab:.1f} frames/s; DSM coverage "
+                f"{s1[1]:.3f}{speed}")
     res = spawn_dl("e2e_cpu", floor=240.0)
     if res is not None:
         tc, tst, tdsm, tor, cov = res

@@ -115,19 +115,26 @@ def main():
         dt = max((dt6 - dt2) / 4.0, 1e-9)
 
     p = pts.reshape(-1, 3)
-    v = valid.reshape(-1)
-    if args.z_filter:
-        v = filter_points_z(p, v, 374.0, 454.0)
-    vals, hit = idw_to_grid(
-        p[:, :2], p[:, 2], v, geom, dsm_cfg.bin_capacity,
-        radius_sq=dsm_cfg.interpolation_radius_sq, adaptive=True,
-        growth=1.1, max_radius_sq=7.0,
-    )
-    elev = np.where(np.asarray(hit), np.asarray(vals), np.nan)
     truth = np.asarray(scene.height(ce, cn))
-    fin = np.isfinite(elev)
-    err = np.abs(elev[fin] - truth[fin])
-    n_valid = int(np.asarray(v).sum())
+
+    def metrics(v):
+        vals, hit = idw_to_grid(
+            p[:, :2], p[:, 2], v, geom, dsm_cfg.bin_capacity,
+            radius_sq=dsm_cfg.interpolation_radius_sq, adaptive=True,
+            growth=1.1, max_radius_sq=7.0,
+        )
+        elev = np.where(np.asarray(hit), np.asarray(vals), np.nan)
+        fin = np.isfinite(elev)
+        err = np.abs(elev[fin] - truth[fin])
+        return {
+            "valid_points": int(np.asarray(v).sum()),
+            "coverage": round(float(fin.mean()), 3),
+            "rmse_m": round(float(np.sqrt((err ** 2).mean())), 3),
+            "median_m": round(float(np.median(err)), 3),
+            "p95_m": round(float(np.percentile(err, 95)), 3),
+        }
+
+    v = valid.reshape(-1)
     row = {
         "matcher": args.matcher,
         "p1": getattr(sgm_cfg, "p1", None) if args.matcher == "sgm"
@@ -136,12 +143,8 @@ def main():
         else None,
         "num_disp": args.num_disp,
         "min_disp": kw.get("min_disparity", 1),
-        "z_filter": args.z_filter,
-        "valid_points": n_valid,
-        "coverage": round(float(fin.mean()), 3),
-        "rmse_m": round(float(np.sqrt((err ** 2).mean())), 3),
-        "median_m": round(float(np.median(err)), 3),
-        "p95_m": round(float(np.percentile(err, 95)), 3),
+        "raw": metrics(v),
+        "z_filtered": metrics(filter_points_z(p, v, 374.0, 454.0)),
     }
     if dt is not None:
         row["stereo_s"] = round(dt, 3)
