@@ -86,6 +86,13 @@ class SgmConfig:
     pre_filter_cap: int = 35
     uniqueness_ratio: int = 10
     num_directions: int = 8  # 4 or 8 scan directions (cv full-8 parity)
+    # Optional BM-style texture gate (cv::StereoBM's textureThreshold
+    # applied to SGM): invalidate pixels whose block-summed |sobel - cap|
+    # response is below this. cv::StereoSGBM has no such gate — its
+    # aggregation accepts weak-texture matches BM rejects, which is the
+    # measured source of SGM's post-z-filter error tail at bench scale
+    # (docs/PERFORMANCE.md densifier table). 0 = off (cv parity).
+    texture_threshold: float = 0.0
     speckle_window_size: int = 100
     speckle_range: float = 20.0
     # "windowed" (fast support-count approximation) or "cc"

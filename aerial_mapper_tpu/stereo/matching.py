@@ -668,6 +668,12 @@ def sgm_disparity(
     cost_agg = jnp.moveaxis(agg, -1, 0)  # [D, H, W]
     disp, c0, best = _wta_subpixel(cost_agg, cfg.min_disparity)
     valid = _uniqueness_mask(cost_agg, best, c0, cfg.uniqueness_ratio)
+    if cfg.texture_threshold > 0:
+        # opt-in BM-style texture gate (cv::StereoSGBM has none; see
+        # SgmConfig.texture_threshold): raw block sum of |sobel - cap|
+        texture = _box_filter(jnp.abs(lf - float(cfg.pre_filter_cap)),
+                              cfg.block_size)
+        valid &= texture >= cfg.texture_threshold
     if cfg.disp_12_max_diff >= 0:
         # cv::StereoSGBM runs validateDisparity whenever
         # disp12MaxDiff >= 0 (the reference passes 0, common.h:91): the

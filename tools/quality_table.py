@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--num-disp", type=int, default=80)
     ap.add_argument("--min-disp", type=int, default=None)
     ap.add_argument("--uniqueness", type=int, default=None)
+    ap.add_argument("--texture", type=float, default=None,
+                    help="SGM-only BM-style texture gate "
+                         "(SgmConfig.texture_threshold)")
     ap.add_argument("--z-filter", action="store_true",
                     help="apply the +-40 m survey envelope "
                          "(--stereo_z_min/max 374/454) before the DSM")
@@ -86,6 +89,8 @@ def main():
         kw["uniqueness_ratio"] = args.uniqueness
     bm_cfg = BlockMatchingConfig(num_disparities=args.num_disp, **kw)
     skw = dict(kw)
+    if args.texture is not None:
+        skw["texture_threshold"] = args.texture
     if args.p1 is not None:
         skw["p1"] = args.p1
     if args.p2 is not None:
