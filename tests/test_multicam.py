@@ -494,3 +494,43 @@ def test_multicam_incremental_stream_validation():
     with pytest.raises(ValueError, match="body"):
         run_incremental(datasets[0], _inc_config(), update_every_nth=2,
                         datasets=[datasets[0], shifted])
+
+
+def test_cli_all_cameras_incremental(tmp_path):
+    """--all_cameras on the incremental CLI: the fused streaming run
+    covers more cells than camera 0 alone and carries global ids."""
+    from aerial_mapper_tpu.cli import (
+        main_make_synthetic_dataset,
+        main_ortho_backward_grid_incremental,
+    )
+    from aerial_mapper_tpu.io.artifacts import load_layers
+
+    data = tmp_path / "data"
+    main_make_synthetic_dataset.main([
+        "--output_directory", str(data),
+        "--num_images", "6", "--image_width", "96", "--image_height", "72",
+        "--focal_length", "96", "--spacing", "8",
+        "--num_cameras", "2", "--camera_tilt_deg", "25",
+    ])
+    base = [
+        "--data_directory", str(data),
+        "--prefix_images", "cam{cam}/image_",
+        "--center_easting", "20", "--center_northing", "20",
+        "--delta_easting", "40", "--delta_northing", "56",
+        "--resolution", "1.0", "--num_disparities", "16",
+        "--update_every_nth", "2", "--check_every", "2",
+        "--interpolation_radius", "1.0",
+    ]
+    out_mc = str(tmp_path / "mc.npz")
+    main_ortho_backward_grid_incremental.main(
+        base + ["--all_cameras", "--output_layers_npz", out_mc,
+                "--orthomosaic_jpg_filename", str(tmp_path / "mc.jpg")])
+    out_c0 = str(tmp_path / "c0.npz")
+    main_ortho_backward_grid_incremental.main(
+        base + ["--output_layers_npz", out_c0,
+                "--orthomosaic_jpg_filename", str(tmp_path / "c0.jpg")])
+    l_mc, _ = load_layers(out_mc)
+    l_c0, _ = load_layers(out_c0)
+    assert np.isfinite(l_mc["elevation"]).sum() > \
+        np.isfinite(l_c0["elevation"]).sum()
+    assert np.nanmax(l_mc["observation_index"]) >= 6  # global stream-1 ids
