@@ -184,16 +184,25 @@ def resolve_z_range(
 
 
 def warn_boundary_pileup(points, valid, cfg: PlaneSweepConfig,
-                         frac_threshold: float = 0.05):
+                         frac_threshold: float = 0.05,
+                         max_samples: int = 200_000):
     """Warn when winning elevations pile up near the sweep-range ends —
     the signature of a range that clips the terrain (the boundary planes
     themselves are already rejected when ``reject_boundary_planes``, so
     the pile-up shows at the planes just inside). Returns the (low, high)
-    pile-up fractions."""
+    pile-up fractions.
+
+    The check runs on a ~``max_samples`` stride-decimated subset: the
+    inputs are usually DEVICE arrays (the sweep's full cloud is ~150 MB
+    at bench scale) and a fraction estimate does not need every point —
+    decimating BEFORE the host transfer keeps this a <2 MB readback."""
     import logging
 
-    z = np.asarray(points).reshape(-1, 3)[:, 2]
-    v = np.asarray(valid).reshape(-1)
+    pts = points.reshape(-1, 3)
+    vv = valid.reshape(-1)
+    stride = max(1, int(pts.shape[0]) // max_samples)
+    z = np.asarray(pts[::stride, 2])
+    v = np.asarray(vv[::stride])
     if not v.any() or cfg.z_min is None or cfg.z_max is None:
         return 0.0, 0.0
     z = z[v]
