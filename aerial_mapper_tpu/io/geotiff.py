@@ -78,7 +78,16 @@ def _downsample2(arr: np.ndarray, nodata=None) -> np.ndarray:
     else:
         a = np.pad(arr, pad, mode="edge").astype(np.float64)
         if nodata is not None:
-            a = np.where(a == nodata, np.nan, a)
+            if arr.ndim == 3:
+                # multi-band: a sample is background only when the WHOLE
+                # pixel equals the sentinel on every channel — a shadow
+                # pixel with one zero channel keeps all its channels in
+                # the mean (ADVICE r5 review: per-channel masking biased
+                # such pixels bright)
+                nod = (a == nodata).all(axis=-1, keepdims=True)
+                a = np.where(nod, np.nan, a)
+            else:
+                a = np.where(a == nodata, np.nan, a)
     if arr.ndim == 2:
         blocks = a.reshape(hh, 2, ww, 2).transpose(0, 2, 1, 3)
         blocks = blocks.reshape(hh, ww, 4)
@@ -319,6 +328,12 @@ def write_geotiff(
     ``overview_nodata``: integer sentinel excluded from overview means
     the same way NaN is for floats (e.g. 0 for the homography mosaic's
     zeroed background) — the full-resolution page is written unchanged.
+    Multi-band arrays treat a sample as background only when the whole
+    pixel matches on every channel. Known ambiguity (same as GDAL's
+    declared-nodata convention): a genuinely observed pixel whose value
+    EQUALS the sentinel (e.g. pure black clipped to 0) is excluded from
+    (gray) or treated as background in (RGB, all-zero pixel) overview
+    means — overviews are a display pyramid, and the full page is exact.
     """
     if compress is None:
         compress = DEFAULT_COMPRESSION

@@ -139,27 +139,40 @@ def _stereo_cloud(dataset: Dataset, cfg: PipelineConfig, timer: StageTimer):
             disparity_range_from_slab,
         )
 
-        if cfg.stereo.z_min is not None and cfg.stereo.z_max is not None:
-            z_lo, z_hi = cfg.stereo.z_min, cfg.stereo.z_max
-        else:
-            from aerial_mapper_tpu.stereo.plane_sweep import auto_z_range
+        try:
+            if cfg.stereo.z_min is not None and \
+                    cfg.stereo.z_max is not None:
+                z_lo, z_hi = cfg.stereo.z_min, cfg.stereo.z_max
+            else:
+                from aerial_mapper_tpu.stereo.plane_sweep import (
+                    auto_z_range,
+                )
 
-            z_lo, z_hi = auto_z_range(images, Rs, trans_c,
-                                      dataset.rig.camera, bm_cfg=cfg.bm)
-        lo, num = disparity_range_from_slab(
-            dataset.rig.camera.K, Rs, trans_c,
-            (images[0].shape[-2], images[0].shape[-1]), z_lo, z_hi,
-            use_every_nth=cfg.stereo.use_every_nth_image,
-        )
-        bm_cfg = _dc.replace(bm_cfg, min_disparity=lo,
-                             num_disparities=num)
-        sgm_cfg = _dc.replace(sgm_cfg, min_disparity=max(lo, 1),
-                              num_disparities=num)
-        logger.info(
-            "slab-bounded disparity search: slab [%.1f, %.1f] m -> "
-            "disparities [%d, %d) (%d vs %d full)",
-            z_lo, z_hi, lo, lo + num, num, cfg.bm.num_disparities,
-        )
+                z_lo, z_hi = auto_z_range(images, Rs, trans_c,
+                                          dataset.rig.camera,
+                                          bm_cfg=cfg.bm)
+            lo, num = disparity_range_from_slab(
+                dataset.rig.camera.K, Rs, trans_c,
+                (images[0].shape[-2], images[0].shape[-1]), z_lo, z_hi,
+                use_every_nth=cfg.stereo.use_every_nth_image,
+            )
+        except ValueError as e:
+            # degenerate slab/geometry: an opt-in optimization must not
+            # abort the run — fall back to the full search range
+            logger.warning(
+                "disparity_from_slab: %s — falling back to the full "
+                "%d-disparity search", e, cfg.bm.num_disparities,
+            )
+        else:
+            bm_cfg = _dc.replace(bm_cfg, min_disparity=lo,
+                                 num_disparities=num)
+            sgm_cfg = _dc.replace(sgm_cfg, min_disparity=max(lo, 1),
+                                  num_disparities=num)
+            logger.info(
+                "slab-bounded disparity search: slab [%.1f, %.1f] m -> "
+                "disparities [%d, %d) (%d vs %d full)",
+                z_lo, z_hi, lo, lo + num, num, cfg.bm.num_disparities,
+            )
 
     devices = jax.devices()
     if cfg.auto_shard and len(devices) > 1:

@@ -128,7 +128,14 @@ def _validate_streams(streams):
                 f"multicam stream {s} has {ds.num_frames} frames, "
                 f"stream 0 has {n} — streams must be synchronized"
             )
-        if not (np.allclose(ds.quats_G_B, streams[0].quats_G_B)
+        # quaternion double cover: q and -q are the same rotation, so a
+        # stream normalized to the opposite hemisphere must still pass
+        q0, q1 = np.asarray(streams[0].quats_G_B), np.asarray(ds.quats_G_B)
+        quat_match = np.all(
+            np.minimum(np.abs(q1 - q0).max(axis=1),
+                       np.abs(q1 + q0).max(axis=1)) < 1e-8
+        )
+        if not (quat_match
                 and np.allclose(ds.trans_G_B, streams[0].trans_G_B)):
             raise ValueError(
                 f"multicam stream {s} carries a different body "
@@ -200,6 +207,75 @@ def _interleaved_multicam_ring(pair_ops_list):
         t_G_C1=jnp.stack(fields["t_G_C1"]),
         baseline=jnp.stack(fields["baseline"]),
         pair_valid=jnp.asarray(valid),
+    )
+
+
+def _maybe_bound_disparity_incremental(cfg: PipelineConfig, streams,
+                                       update_every_nth: int):
+    """Apply ``StereoConfig.disparity_from_slab`` to the incremental
+    driver's matcher configs.
+
+    The incremental driver only honors the flag when BOTH ``z_min`` and
+    ``z_max`` are set: that user-declared envelope already z-filters
+    every triangulated point, so bounding the search window to the
+    disparities the envelope can produce drops only points the filter
+    would drop anyway (and keeps the sharded/single-device bit-identity:
+    both use the same static window). Deriving the window from the
+    TRACKED slab instead would be unsound here — a bounded search cannot
+    discover terrain outside its own window, so the slab validation
+    could never observe a violation. Without the envelope the flag is
+    ignored with a warning (the batch drivers run a prepass instead)."""
+    import dataclasses as _dc
+
+    if not cfg.stereo.disparity_from_slab:
+        return cfg
+    if cfg.stereo.z_min is None or cfg.stereo.z_max is None:
+        logger.warning(
+            "disparity_from_slab ignored by the incremental driver: set "
+            "BOTH --stereo_z_min and --stereo_z_max (the declared "
+            "envelope is the only sound slab here — the tracked slab "
+            "cannot validate a window it bounded itself); running the "
+            "full %d-disparity search", cfg.bm.num_disparities,
+        )
+        return cfg
+    from aerial_mapper_tpu.io.poses import _rot_matrix_np
+    from aerial_mapper_tpu.stereo.batched import disparity_range_from_slab
+
+    lo_all, hi_all = None, None
+    h, w = streams[0].images[0].shape[-2], streams[0].images[0].shape[-1]
+    try:
+        for ds in streams:
+            quats_c, trans_c = ds.camera_poses()
+            Rs = np.stack([_rot_matrix_np(q) for q in quats_c])
+            # pairing cadence: updates match frames n-1, 2n-1, ... (the
+            # (prev, i) chain) — the same stride/phase the range helper
+            # models with use_every_nth
+            lo, num = disparity_range_from_slab(
+                ds.rig.camera.K, Rs, trans_c, (h, w),
+                cfg.stereo.z_min, cfg.stereo.z_max,
+                use_every_nth=update_every_nth,
+            )
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = lo + num if hi_all is None else max(hi_all, lo + num)
+    except ValueError as e:
+        logger.warning(
+            "disparity_from_slab: %s — falling back to the full "
+            "%d-disparity search", e, cfg.bm.num_disparities,
+        )
+        return cfg
+    num_all = hi_all - lo_all
+    logger.info(
+        "incremental slab-bounded disparity search: envelope [%.1f, "
+        "%.1f] m -> disparities [%d, %d) (%d vs %d full)",
+        cfg.stereo.z_min, cfg.stereo.z_max, lo_all, hi_all, num_all,
+        cfg.bm.num_disparities,
+    )
+    return _dc.replace(
+        cfg,
+        bm=_dc.replace(cfg.bm, min_disparity=lo_all,
+                       num_disparities=num_all),
+        sgm=_dc.replace(cfg.sgm, min_disparity=max(lo_all, 1),
+                        num_disparities=num_all),
     )
 
 
@@ -283,6 +359,8 @@ def run_incremental(
     if len(streams) > 1:
         _validate_streams(streams)
     multicam = len(streams) > 1
+    cfg = _maybe_bound_disparity_incremental(cfg, streams,
+                                             update_every_nth)
     mesh = _incremental_mesh(cfg)
     if mesh is not None:
         if on_cloud is not None:
@@ -364,11 +442,14 @@ def run_incremental(
                     layers, merged_pts, merged_valid, geom, cfg.dsm,
                 )
                 if on_cloud is not None:
-                    on_cloud(
-                        i,
-                        np.asarray(merged_pts[::cloud_stride]),
-                        np.asarray(merged_valid[::cloud_stride]),
-                    )
+                    # ONE d2h transfer: valid rides as a 4th column
+                    # (every readback is a ~35-75 ms tunnel round trip)
+                    packed = np.asarray(jnp.concatenate([
+                        merged_pts[::cloud_stride],
+                        merged_valid[::cloud_stride, None].astype(
+                            jnp.float32),
+                    ], axis=1))
+                    on_cloud(i, packed[:, :3], packed[:, 3] > 0.5)
 
         with timer.stage("incremental_ortho"):
             # one best-angle pass per stream; multicam carries GLOBAL

@@ -828,3 +828,17 @@ def test_geotiff_overview_nodata_and_corrupt_chain(tmp_path):
         with pytest.raises(SystemExit):
             parser.parse_args(["--data_directory", str(tmp_path),
                                "--geotiff_overviews", bad_val])
+
+
+def test_geotiff_rgb_nodata_whole_pixel_only(tmp_path):
+    """RGB overview nodata: only an ALL-zero pixel is background; an
+    observed pixel with one zero channel keeps every channel in the
+    2x2 mean (per-channel masking biased such pixels — r5 review)."""
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rgb[0, 0] = (200, 0, 50)  # observed, one black channel
+    p = str(tmp_path / "rgbnod.tif")
+    write_geotiff(p, rgb, west=0.0, north=0.0, resolution=1.0,
+                  overviews=1, overview_nodata=0)
+    lv1 = read_geotiff(p, page=1)[0]
+    # the single observed pixel defines the block mean on ALL channels
+    np.testing.assert_array_equal(lv1[0, 0], (200, 0, 50))

@@ -556,3 +556,80 @@ def test_disparity_from_slab_through_pipeline():
     truth = np.asarray(SCENE.height(ce, cn))
     err = np.abs(elev[fin] - truth[fin])
     assert np.median(err) < geom.resolution
+
+
+def test_disparity_from_slab_incremental_driver():
+    """The incremental driver honors disparity_from_slab only with a
+    declared z envelope (the sound slab there); without one it warns and
+    runs the full search. With the envelope, the bounded result matches
+    the full-range driver wherever both accept."""
+    import dataclasses as dc
+    import logging
+
+    from aerial_mapper_tpu.camera.rig import CameraRig
+    from aerial_mapper_tpu.config import (
+        DsmConfig,
+        GridMapConfig,
+        PipelineConfig,
+    )
+    from aerial_mapper_tpu.geo.se3 import matrix_to_quat
+    from aerial_mapper_tpu.pipeline.dataset import Dataset
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    Rs, ts = make_survey_poses(4, altitude=514.0, spacing=6.0)
+    images = [
+        np.asarray(render_image(SCENE, CAM, jnp.asarray(R, jnp.float32),
+                                jnp.asarray(t, jnp.float32)))
+        for R, t in zip(Rs, ts)
+    ]
+    rig = CameraRig(cameras=(CAM,),
+                    T_C_B_quats=np.array([[1.0, 0.0, 0.0, 0.0]]),
+                    T_C_B_trans=np.zeros((1, 3)))
+    ds = Dataset(
+        rig=rig,
+        quats_G_B=np.asarray(matrix_to_quat(jnp.asarray(Rs)), np.float64),
+        trans_G_B=np.asarray(ts), images=images,
+    )
+
+    def run(stereo_cfg):
+        cfg = PipelineConfig(
+            auto_shard=False,
+            grid=GridMapConfig(center_easting=16.0, center_northing=0.0,
+                               delta_easting=60.0, delta_northing=40.0,
+                               resolution=1.0),
+            stereo=stereo_cfg,
+            dsm=DsmConfig(interpolation_radius_sq=2.0),
+        )
+        records = []
+
+        class _Catch(logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        lg = logging.getLogger("aerial_mapper_tpu")
+        h = _Catch()
+        lg.addHandler(h)
+        old = lg.level
+        lg.setLevel(logging.INFO)
+        try:
+            layers, _ = run_incremental(ds, cfg, update_every_nth=1)
+        finally:
+            lg.removeHandler(h)
+            lg.setLevel(old)
+        return layers, records
+
+    # no envelope: warn + full search
+    _, recs = run(StereoConfig(use_every_nth_image=1,
+                               disparity_from_slab=True))
+    assert any("ignored by the incremental driver" in m for m in recs)
+
+    # with envelope: bounded search logged, coverage parity vs full
+    l_slab, recs = run(StereoConfig(use_every_nth_image=1,
+                                    disparity_from_slab=True,
+                                    z_min=404.0, z_max=424.0))
+    assert any("incremental slab-bounded" in m for m in recs)
+    l_full, _ = run(StereoConfig(use_every_nth_image=1,
+                                 z_min=404.0, z_max=424.0))
+    fs = np.isfinite(np.asarray(l_slab["elevation"]))
+    ff = np.isfinite(np.asarray(l_full["elevation"]))
+    assert fs.sum() > 0.95 * ff.sum()

@@ -98,19 +98,23 @@ def main():
     sgm_cfg = SgmConfig(num_disparities=args.num_disp, **skw)
     dsm_cfg = DsmConfig(interpolation_radius_sq=2.0, bin_capacity=8)
 
+    # ops rides as an OPERAND: closing over the ~100 MB image stacks
+    # would bake them into the HLO as constants, which the axon remote
+    # compiler rejects around ~300 MB (CLAUDE.md; bench worker_e2e uses
+    # the same form)
     @jax.jit
-    def stereo_step(eps):
+    def stereo_step(eps, ops):
         o = ops._replace(T1_inv=ops.T1_inv + eps * 1e-30)
         pts, _i, valid = process_pairs_batched(
             o, cam, matcher=args.matcher, bm_cfg=bm_cfg, sgm_cfg=sgm_cfg,
             batch_chunk=1)
         return pts, valid
 
-    pts, valid = stereo_step(jnp.float32(0))  # compile + run
+    pts, valid = stereo_step(jnp.float32(0), ops)  # compile + run
     dt = None
     if args.time:
         def step(eps):
-            p, v = stereo_step(eps)
+            p, v = stereo_step(eps, ops)
             return jnp.sum(p) * 1e-12
 
         dt2 = bench._min_window(step, jnp.float32(0), 2, reps=3,
