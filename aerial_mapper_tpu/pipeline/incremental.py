@@ -542,7 +542,6 @@ def _run_incremental_sharded(
         band_image_operands,
         pad_map_geometry,
         pad_ring_pairs,
-        prepare_ring_pair_operands,
         replicated_band_images,
         shard_layers,
         sharded_backward_grid_update,
