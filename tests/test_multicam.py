@@ -534,3 +534,34 @@ def test_cli_all_cameras_incremental(tmp_path):
     assert np.isfinite(l_mc["elevation"]).sum() > \
         np.isfinite(l_c0["elevation"]).sum()
     assert np.nanmax(l_mc["observation_index"]) >= 6  # global stream-1 ids
+
+
+def test_multicam_incremental_resume_exact():
+    """Checkpoint/resume in the multicam incremental driver: resuming
+    from a mid-run payload at an update boundary reproduces EXACTLY the
+    uninterrupted run's final map (the single-stream resume contract,
+    test_cli, extended to the per-stream pairing chain)."""
+    import dataclasses as dc
+
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    datasets = _make_datasets(cam=SQCAM)
+    cfg = dc.replace(_inc_config(), auto_shard=False)
+    payloads = {}
+    full, _ = run_incremental(
+        datasets[0], cfg, update_every_nth=2, datasets=datasets,
+        on_update=lambda i, ls, g: payloads.update(
+            {i: {k: np.asarray(v) for k, v in ls.items()}}),
+    )
+    # resume right after the update at frame 3 (boundary: start_frame 4)
+    resumed, _ = run_incremental(
+        datasets[0], cfg, update_every_nth=2, datasets=datasets,
+        initial_layers=payloads[3], start_frame=4,
+    )
+    for k in ("elevation", "ortho", "elevation_angle",
+              "observation_index", "num_observations"):
+        a, b = np.asarray(full[k]), np.asarray(resumed[k])
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, nan=-1e30), np.nan_to_num(b, nan=-1e30),
+            err_msg=k,
+        )
