@@ -565,3 +565,35 @@ def test_multicam_incremental_resume_exact():
             np.nan_to_num(a, nan=-1e30), np.nan_to_num(b, nan=-1e30),
             err_msg=k,
         )
+
+
+def test_multicam_incremental_resume_sharded():
+    """The sharded multicam resume (padded-geometry splice path) equals
+    the uninterrupted sharded run bit-for-bit."""
+    import dataclasses as dc
+
+    import jax
+
+    from aerial_mapper_tpu.pipeline.incremental import run_incremental
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    datasets = _make_datasets(cam=SQCAM)
+    cfg = _inc_config()
+    payloads = {}
+    full, _ = run_incremental(
+        datasets[0], cfg, update_every_nth=2, check_every=2,
+        datasets=datasets,
+        on_update=lambda i, ls, g: payloads.update({i: ls}),
+    )
+    resumed, _ = run_incremental(
+        datasets[0], cfg, update_every_nth=2, check_every=2,
+        datasets=datasets, initial_layers=payloads[3], start_frame=4,
+    )
+    for k in ("elevation", "ortho", "elevation_angle",
+              "observation_index", "num_observations"):
+        a, b = np.asarray(full[k]), np.asarray(resumed[k])
+        np.testing.assert_array_equal(
+            np.nan_to_num(a, nan=-1e30), np.nan_to_num(b, nan=-1e30),
+            err_msg=k,
+        )
