@@ -293,7 +293,7 @@ def run_incremental(
     route_capacity_factor: float = 2.0,
     datasets=None,
     on_cloud: Optional[Callable] = None,
-    cloud_stride: int = 64,
+    cloud_stride: int = 67,
 ):
     """Stream the sequence; returns the final (layers, geom).
 
@@ -307,9 +307,13 @@ def run_incremental(
     newly triangulated stereo points decimated by ``cloud_stride``, as
     host numpy — the live point-cloud feed the reference publishes per
     frame (stereo.cpp:78-79 -> rviz). Costs one small d2h readback per
-    update, so it is opt-in. Single-device driver only: the sharded
-    fused step never materializes the cloud outside the device mesh
-    (a warning is logged and the callback skipped there).
+    update, so it is opt-in. The default stride is PRIME: the flat point
+    buffer is row-major over the image, so a stride sharing a factor
+    with the image width samples only a few pixel columns (stride 64 on
+    a 320-wide image picked 5 columns — visible stripes in the preview).
+    Single-device driver only: the sharded fused step never materializes
+    the cloud outside the device mesh (a warning is logged and the
+    callback skipped there).
 
     ``prestage_images``: move the whole sequence to the device in one bulk
     transfer up front instead of per-frame as the stream arrives — the
